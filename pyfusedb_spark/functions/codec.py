@@ -1,0 +1,189 @@
+"""Posting-list codec: delta-encoded docID gaps + varint blocks + block-max.
+
+The reference defines (but never calls) a python-loop delta codec
+(``app/InvertedIndexFinal.py:124-150``) and packs postings as fixed-width
+``struct('II')`` records (``:228-236``). The north rule makes compression
+mandatory: delta-encoded docID gaps + varint payload in fixed-size blocks,
+plus per-block max-score metadata for block-max WAND. This module is the
+numpy-vectorized implementation used inside pandas UDFs (no per-row
+Python) and by the query-side decoder.
+
+Layout
+------
+A posting list for one (term, bucket) chunk is three parallel arrays
+(doc_ids sorted ascending & unique, tfs, dls) interleaved per posting as
+``[gap, tf, dl]`` triples and LEB128-varint encoded into one byte payload.
+``gap[0] = doc_id[0] + 1`` (i.e. delta from sentinel -1), so all gaps are
+>= 1. Every ``block_size`` postings form a block; per block we keep
+``(byte_offset, first_doc_id, last_doc_id, max_partial)`` where
+``max_partial`` is the BM25 doc-side factor upper bound
+``max tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` — multiplied by idf at query
+time to get the block's score upper bound (WAND). Block k is decodable
+independently: its delta base is ``last_doc_id`` of block k-1 (or -1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# --------------------------------------------------------------------------
+# LEB128 varint, numpy-vectorized
+# --------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode uint64 array -> (payload bytes, per-value byte offsets).
+
+    Returns offsets of length len(values)+1 (offsets[i] = start of value i).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    starts = offsets[:-1]
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        pos = starts[mask] + j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << np.uint8(7)
+        out[pos] = byte.astype(np.uint8) | cont
+    return out.tobytes(), offsets
+
+
+def varint_decode(payload: bytes | np.ndarray, start: int = 0, count: int | None = None) -> np.ndarray:
+    """Decode `count` varints (or all) from payload[start:] -> uint64 array."""
+    b = np.frombuffer(payload, dtype=np.uint8) if not isinstance(payload, np.ndarray) else payload
+    b = b[start:]
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = b < 128
+    ends = np.flatnonzero(is_last)
+    if count is not None:
+        ends = ends[:count]
+        b = b[: ends[-1] + 1] if ends.size else b[:0]
+    n = ends.size
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    maxlen = int(lengths.max()) if n else 0
+    for j in range(maxlen):
+        mask = lengths > j
+        vals[mask] |= (b[starts[mask] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
+# --------------------------------------------------------------------------
+# Posting chunk encode / decode
+# --------------------------------------------------------------------------
+
+@dataclass
+class EncodedChunk:
+    payload: bytes
+    n_postings: int
+    block_offsets: np.ndarray  # int64, byte offset of each block start
+    block_first: np.ndarray  # int64, first doc_id per block
+    block_last: np.ndarray  # int64, last doc_id per block
+    block_max_partial: np.ndarray  # float32, max BM25 doc-side factor per block
+    max_partial: float
+
+
+def bm25_partials(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    tfs = tfs.astype(np.float64)
+    dls = dls.astype(np.float64)
+    denom = tfs + k1 * (1.0 - b + (b * dls / avgdl if avgdl > 0 else 0.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(denom > 0, tfs * (k1 + 1.0) / denom, 0.0)
+    return out
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+) -> EncodedChunk:
+    """Encode one sorted, doc-unique posting chunk."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = doc_ids.size
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        gaps[0] = np.uint64(doc_ids[0] + 1)
+        gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    interleaved = np.empty(3 * n, dtype=np.uint64)
+    interleaved[0::3] = gaps
+    interleaved[1::3] = tfs.astype(np.uint64)
+    interleaved[2::3] = dls.astype(np.uint64)
+    payload, offsets = varint_encode(interleaved)
+    n_blocks = (n + block_size - 1) // block_size if n else 0
+    starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    block_offsets = offsets[starts * 3]
+    block_first = doc_ids[starts]
+    last_idx = np.minimum(starts + block_size, n) - 1
+    block_last = doc_ids[last_idx]
+    partials = bm25_partials(tfs, dls, avgdl, k1, b)
+    if n_blocks:
+        block_max = np.maximum.reduceat(partials, starts)
+    else:
+        block_max = np.zeros(0, dtype=np.float64)
+    return EncodedChunk(
+        payload=payload,
+        n_postings=int(n),
+        block_offsets=block_offsets,
+        block_first=block_first,
+        block_last=block_last,
+        block_max_partial=block_max.astype(np.float32),
+        max_partial=float(block_max.max()) if n_blocks else 0.0,
+    )
+
+
+def decode_postings(payload: bytes, n_postings: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full chunk -> (doc_ids, tfs, dls)."""
+    vals = varint_decode(payload, 0, 3 * n_postings)
+    gaps = vals[0::3].astype(np.int64)
+    tfs = vals[1::3].astype(np.int64)
+    dls = vals[2::3].astype(np.int64)
+    doc_ids = np.cumsum(gaps) - 1
+    return doc_ids, tfs, dls
+
+
+def decode_block(
+    payload: bytes,
+    block_offsets: np.ndarray,
+    block_idx: int,
+    n_postings: int,
+    block_size: int = BLOCK_SIZE,
+    prev_last_doc: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single block independently (for WAND skip-decoding)."""
+    start = int(block_offsets[block_idx])
+    in_block = min(block_size, n_postings - block_idx * block_size)
+    vals = varint_decode(payload, start, 3 * in_block)
+    gaps = vals[0::3].astype(np.int64)
+    tfs = vals[1::3].astype(np.int64)
+    dls = vals[2::3].astype(np.int64)
+    base = prev_last_doc if prev_last_doc is not None else -1
+    if block_idx == 0:
+        base = -1
+    doc_ids = base + np.cumsum(gaps)
+    return doc_ids, tfs, dls
