@@ -1,0 +1,291 @@
+"""Index build pipeline (SURVEY.md §3 entry-point-2 replacement).
+
+Reference lifecycle being re-expressed: SPIMI block build
+(``app/InvertedIndexFinal.py:254-285``) + k-way merge (``:287-346``),
+re-architected for Spark's execution model:
+
+Stage "tf"      one narrow Arrow pass over the corpus: analyze+count terms
+                in a pandas UDF (map-side partial agg), sha256 via built-in
+                ``sha2``; writes (a) doc_stats (doc_id, doc_len, sha256) and
+                (b) tf rows partitioned by doc-range BUCKET.
+Stage "stats"   N (counts empty docs too — app/InvertedIndex.py:34), avgdl.
+Stage bucket=K  per bucket: repartitionByRange(term) +
+                sortWithinPartitions(term, doc_id) + mapInPandas encoder →
+                encoded posting chunks (delta+varint+block-max). The
+                doc-range bucket IS the skew salt (north rule): a hot
+                term's postings split into ≤ n_buckets doc-disjoint chunks,
+                each bounded by the bucket's doc count, and chunks stay
+                globally doc-ordered so query-side concatenation is free
+                (no second merge shuffle needed — the "merge" is a
+                metadata-only concatenation, unlike the reference's k-way
+                heap merge).
+Stage "lexicon" tiny shuffle over chunk rows: df(term) = Σ df_chunk
+                (A3/A4 in SURVEY.md §2.4).
+Stage "norms"   optional exact TF-IDF document norms (v1 semantics,
+                app/InvertedIndex.py:408-419) for the cosine mode.
+
+Every stage/bucket commits a manifest (term range, doc count, postings,
+bytes, sha256 lineage, tokens/sec, postings/sec) through ManifestCatalog;
+a killed build resumes from the last committed unit.
+
+Scale notes (100 TB / 1000 executors): stage "tf" is scan→write with zero
+shuffles; each bucket stage is exactly one range shuffle on `term`;
+lexicon shuffles only (term, df_chunk) rows. Buckets bound both the
+per-task posting-list size (Arrow 2 GiB record limits) and the resume
+granularity. For 10^12 docs raise n_buckets so bucket_span·max_df_density
+keeps chunks under ~100 MB.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyfusedb_spark.functions.udfs import CHUNK_SCHEMA, make_chunk_encoder, sha256_col, term_freqs_udf
+from pyfusedb_spark.operators.ids import assign_doc_ids
+from pyfusedb_spark.sources.catalog import ManifestCatalog
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    preset: str = "english"
+    k1: float = 1.2
+    b: float = 0.75
+    block_size: int = 128
+    n_buckets: int = 8
+    compute_norms: bool = True
+    shuffle_partitions: int | None = None  # per-bucket range partitions
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    content_col: str = "content",
+    doc_id_col: str | None = None,
+    sort_cols: list[str] | None = None,
+    config: IndexConfig = IndexConfig(),
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) an index at out_dir. Returns the stats dict."""
+    from pyfusedb_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    cat = ManifestCatalog(out_dir)
+    if not resume:
+        for key in list(cat.snapshot().get("manifests", {})):
+            cat.uncommit(key)
+
+    tf_dir = os.path.join(out_dir, "tf")
+    ds_dir = os.path.join(out_dir, "doc_stats")
+    idx_dir = os.path.join(out_dir, "index")
+    lex_dir = os.path.join(out_dir, "lexicon")
+    stats_path = os.path.join(out_dir, "stats.json")
+
+    # ---------------- stage tf ----------------
+    m_tf = cat.read_manifest("stage_tf") if resume else None
+    if m_tf is None:
+        t0 = time.perf_counter()
+        if doc_id_col is None:
+            docs = assign_doc_ids(corpus, sort_cols or corpus.columns)
+            id_col = "doc_id"
+        else:
+            docs = corpus.withColumnRenamed(doc_id_col, "doc_id") if doc_id_col != "doc_id" else corpus
+            id_col = "doc_id"
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("max_id")
+        ).collect()[0]
+        n_docs, max_id = int(agg["n"]), int(agg["max_id"] if agg["max_id"] is not None else 0)
+        bucket_span = max(1, math.ceil((max_id + 1) / config.n_buckets))
+
+        tfs_udf = term_freqs_udf(config.preset)
+        tok = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            sha256_col(content_col).alias("sha256"),
+            tfs_udf(F.col(content_col)).alias("tfs"),
+        ).withColumn(
+            "doc_len",
+            F.aggregate(F.map_values("tfs"), F.lit(0), lambda acc, x: acc + x).cast("long"),
+        )
+        # one tokenize pass feeds both outputs (at 100 TB: write tok once,
+        # derive both from the materialization instead of caching)
+        tok = tok.persist()
+        tok.select("doc_id", "doc_len", "sha256").write.mode("overwrite").parquet(ds_dir)
+        (
+            tok.select(
+                "doc_id",
+                "doc_len",
+                (F.col("doc_id") / F.lit(bucket_span)).cast("int").alias("bucket"),
+                F.explode("tfs").alias("term", "tf"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tf_dir)
+        )
+        tok.unpersist()
+        secs = time.perf_counter() - t0
+        m_tf = {
+            "data_dir": tf_dir,
+            "n_docs": n_docs,
+            "max_doc_id": max_id,
+            "bucket_span": bucket_span,
+            "seconds": round(secs, 3),
+            "docs_per_sec": round(n_docs / secs, 1) if secs > 0 else None,
+        }
+        cat.commit("stage_tf", m_tf)
+
+    n_docs = m_tf["n_docs"]
+    bucket_span = m_tf["bucket_span"]
+
+    # ---------------- stage stats ----------------
+    m_stats = cat.read_manifest("stage_stats") if resume else None
+    if m_stats is None:
+        ds = spark.read.parquet(ds_dir)
+        row = ds.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_len"),
+            # order-independent sha256 lineage fingerprint: sum of 60-bit
+            # hex prefixes (input_hint per-row invariant, recomputable)
+            F.sum(F.conv(F.substring("sha256", 1, 15), 16, 10).cast("decimal(38,0)")).alias("lineage"),
+        ).collect()[0]
+        m_stats = {
+            "data_dir": ds_dir,
+            "n_docs": int(row["n"]),
+            "avgdl": float(row["avgdl"] or 0.0),
+            "total_len": int(row["total_len"] or 0),
+            "sha256_lineage_sum": str(row["lineage"]),
+        }
+        cat.commit("stage_stats", m_stats)
+    avgdl = m_stats["avgdl"]
+
+    # ---------------- per-bucket posting build ----------------
+    n_shuffle = config.shuffle_partitions or spark.sparkContext.defaultParallelism
+    encoder = make_chunk_encoder(avgdl, config.k1, config.b, config.block_size)
+    for k in range(config.n_buckets):
+        key = f"bucket={k}"
+        if resume and cat.is_committed(key):
+            continue
+        t0 = time.perf_counter()
+        final_dir = os.path.join(idx_dir, f"bucket={k}")
+        tf_k = spark.read.parquet(tf_dir).where(F.col("bucket") == k)
+        chunks = (
+            tf_k.select("term", "doc_id", "tf", "doc_len")
+            .repartitionByRange(n_shuffle, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(encoder, CHUNK_SCHEMA)
+        )
+        staging = cat.staging_dir(final_dir)
+        chunks.write.mode("overwrite").parquet(staging)
+        cat.promote_dir(staging, final_dir)
+        secs = time.perf_counter() - t0
+        # cheap columnar read-back for manifest stats
+        stat = (
+            spark.read.parquet(final_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("df_chunk").alias("n_postings"),
+                F.min("term").alias("term_lo"),
+                F.max("term").alias("term_hi"),
+                F.sum("enc_micros").alias("enc_micros"),
+            )
+            .collect()[0]
+        )
+        n_postings = int(stat["n_postings"] or 0)
+        cat.commit(
+            key,
+            {
+                "data_dir": final_dir,
+                "bucket": k,
+                "doc_id_range": [k * bucket_span, (k + 1) * bucket_span - 1],
+                "term_range": [stat["term_lo"], stat["term_hi"]],
+                "n_terms": int(stat["n_terms"]),
+                "n_postings": n_postings,
+                "bytes": _dir_bytes(final_dir),
+                "seconds": round(secs, 3),
+                "postings_per_sec": round(n_postings / secs, 1) if secs > 0 else None,
+                "encode_cpu_seconds": round(int(stat["enc_micros"] or 0) / 1e6, 3),
+            },
+        )
+
+    # ---------------- lexicon ----------------
+    m_lex = cat.read_manifest("stage_lexicon") if resume else None
+    if m_lex is None:
+        t0 = time.perf_counter()
+        lex = (
+            spark.read.parquet(idx_dir)
+            .groupBy("term")
+            .agg(
+                F.sum("df_chunk").alias("df"),
+                F.sum("sum_tf").alias("total_tf"),
+                F.max("max_partial").alias("max_partial"),
+                F.count(F.lit(1)).alias("n_chunks"),
+            )
+        )
+        staging = cat.staging_dir(lex_dir)
+        lex.repartitionByRange(max(1, n_shuffle // 4), "term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(staging)
+        cat.promote_dir(staging, lex_dir)
+        row = spark.read.parquet(lex_dir).agg(
+            F.count(F.lit(1)).alias("vocab"), F.sum("df").alias("postings")
+        ).collect()[0]
+        m_lex = {
+            "data_dir": lex_dir,
+            "vocabulary": int(row["vocab"]),
+            "n_postings": int(row["postings"] or 0),
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
+        cat.commit("stage_lexicon", m_lex)
+
+    # ---------------- norms (exact, v1 semantics) ----------------
+    if config.compute_norms and (not resume or cat.read_manifest("stage_norms") is None):
+        t0 = time.perf_counter()
+        tf_all = spark.read.parquet(tf_dir)
+        lex = spark.read.parquet(lex_dir).select("term", "df")
+        # vocabulary is usually small enough to broadcast; at larger vocab
+        # Catalyst/AQE picks a shuffle join automatically
+        joined = tf_all.join(F.broadcast(lex), "term")
+        w = (F.lit(1.0) + F.log10(F.col("tf"))) * F.log10(F.lit(float(n_docs)) / F.col("df"))
+        norms = joined.groupBy("doc_id").agg(F.sqrt(F.sum(w * w)).alias("norm"))
+        ds = spark.read.parquet(ds_dir)
+        ds_full = ds.join(norms, "doc_id", "left").na.fill({"norm": 0.0})
+        final_dir = os.path.join(out_dir, "doc_stats_full")
+        staging = cat.staging_dir(final_dir)
+        ds_full.write.mode("overwrite").parquet(staging)
+        cat.promote_dir(staging, final_dir)
+        cat.commit(
+            "stage_norms",
+            {"data_dir": final_dir, "seconds": round(time.perf_counter() - t0, 3)},
+        )
+
+    stats = {
+        "format_version": 1,
+        "config": asdict(config),
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "bucket_span": bucket_span,
+        "vocabulary": m_lex["vocabulary"],
+        "n_postings": m_lex["n_postings"],
+        "sha256_lineage_sum": m_stats["sha256_lineage_sum"],
+    }
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True)
+    return stats

@@ -1,0 +1,451 @@
+"""Query-time ranked retrieval: BM25 / TF-IDF-cosine top-k.
+
+Replaces the reference's sequential scan of ``final_index.bin``
+(``InvertedIndexFinal.search``, ``app/InvertedIndexFinal.py:348-425``)
+with:
+
+- a *driver fast path*: predicate-pushdown fetch of the ≤|q| posting
+  chunks (Parquet row-group pruning on the term-sorted index files),
+  numpy decode, and **block-max WAND** top-k (R4 + C4 in SURVEY.md §2) —
+  the reference has no early termination at all (full sort,
+  ``app/InvertedIndex.py:384``);
+- a *distributed path* for hot terms / huge df: decode chunks in
+  executors via ``mapInPandas``, explode score contributions, one
+  ``groupBy(doc_id)`` shuffle, ``orderBy().limit(k)`` (Spark plans
+  TakeOrderedAndProject — no global sort).
+
+Both paths are rank-identical to ``pyfusedb_spark.oracle`` with total tie
+order (-score, doc_id) (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyfusedb_spark.analysis import Analyzer
+from pyfusedb_spark.functions import codec
+from pyfusedb_spark.oracle import bm25_idf, tfidf_weight
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class FuseIndex:
+    """Handle to a built index directory (see operators.build)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        from pyfusedb_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.out_dir = out_dir
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        cfg = self.stats["config"]
+        self.analyzer = Analyzer(cfg["preset"])
+        self.k1 = cfg["k1"]
+        self.b = cfg["b"]
+        self.block_size = cfg["block_size"]
+        self.n_docs = self.stats["n_docs"]
+        self.avgdl = self.stats["avgdl"]
+        self._norms_pd: pd.Series | None = None
+
+    # -- lazy DataFrames ----------------------------------------------------
+    @property
+    def index_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "index"))
+
+    @property
+    def lexicon_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "lexicon"))
+
+    @property
+    def doc_stats_df(self) -> DataFrame:
+        full = os.path.join(self.out_dir, "doc_stats_full")
+        if os.path.exists(full):
+            return self.spark.read.parquet(full)
+        return self.spark.read.parquet(os.path.join(self.out_dir, "doc_stats"))
+
+    # -- fetch --------------------------------------------------------------
+    def _query_terms(self, query: str) -> dict[str, int]:
+        return self.analyzer.preprocess_query(query)
+
+    def _fetch_dfs(self, terms: list[str]) -> dict[str, int]:
+        rows = (
+            self.lexicon_df.where(F.col("term").isin(terms)).select("term", "df").collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _fetch_chunks(self, terms: list[str]) -> pd.DataFrame:
+        pdf = (
+            self.index_df.where(F.col("term").isin(terms))
+            .select(
+                "term",
+                "bucket",
+                "df_chunk",
+                "payload",
+                "block_offsets",
+                "block_first",
+                "block_last",
+                "block_max_partial",
+                "max_partial",
+            )
+            .toPandas()
+        )
+        return pdf.sort_values(["term", "bucket"], kind="mergesort").reset_index(drop=True)
+
+    def _norms(self) -> pd.Series:
+        if self._norms_pd is None:
+            pdf = self.doc_stats_df.select("doc_id", "norm").toPandas()
+            self._norms_pd = pdf.set_index("doc_id")["norm"]
+        return self._norms_pd
+
+    # -- public search API ----------------------------------------------------
+    def search(
+        self,
+        query: str,
+        top_k: int = 10,
+        mode: str = "bm25",
+        conjunctive: bool = False,
+        use_wand: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Driver fast path. Returns [(doc_id, score)] in (-score, doc_id) order."""
+        q_tfs = self._query_terms(query)
+        if not q_tfs:
+            return []
+        dfs = self._fetch_dfs(sorted(q_tfs))
+        terms = [t for t in sorted(q_tfs) if t in dfs]
+        if not terms:
+            return []
+        if conjunctive and len(terms) < len(q_tfs):
+            return []  # some query term matches nothing
+        chunks = self._fetch_chunks(terms)
+        if mode == "bm25" and use_wand and not conjunctive:
+            cursors = []
+            for term in terms:
+                sub = chunks[chunks["term"] == term]
+                qw = float(q_tfs[term]) * bm25_idf(dfs[term], self.n_docs)
+                cursors.append(TermCursor(sub, qw, self.k1, self.b, self.avgdl, self.block_size))
+            return wand_topk(cursors, top_k)
+        return self._exhaustive(chunks, terms, q_tfs, dfs, top_k, mode, conjunctive)
+
+    def _exhaustive(
+        self,
+        chunks: pd.DataFrame,
+        terms: list[str],
+        q_tfs: dict[str, int],
+        dfs: dict[str, int],
+        top_k: int,
+        mode: str,
+        conjunctive: bool,
+    ) -> list[tuple[int, float]]:
+        ids_all, contrib_all = [], []
+        q_sq = 0.0
+        for term in terms:
+            sub = chunks[chunks["term"] == term]
+            d_parts, t_parts, l_parts = [], [], []
+            for row in sub.itertuples(index=False):
+                d, t, l = codec.decode_postings(bytes(row.payload), int(row.df_chunk))
+                d_parts.append(d)
+                t_parts.append(t)
+                l_parts.append(l)
+            if not d_parts:
+                continue
+            d = np.concatenate(d_parts)
+            t = np.concatenate(t_parts)
+            l = np.concatenate(l_parts)
+            if mode == "bm25":
+                qw = float(q_tfs[term]) * bm25_idf(dfs[term], self.n_docs)
+                contrib = qw * codec.bm25_partials(t, l, self.avgdl, self.k1, self.b)
+            else:
+                w_tq = tfidf_weight(q_tfs[term], dfs[term], self.n_docs)
+                q_sq += w_tq * w_tq
+                idf10 = math.log10(self.n_docs / dfs[term])
+                w_td = (1.0 + np.log10(t.astype(np.float64))) * idf10
+                contrib = w_td * w_tq
+            ids_all.append(d)
+            contrib_all.append(contrib)
+        if not ids_all:
+            return []
+        ids = np.concatenate(ids_all)
+        contribs = np.concatenate(contrib_all)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, contribs)
+        if conjunctive:
+            hits = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(hits, inv, 1)
+            keep = hits == len(terms)
+            uniq, sums = uniq[keep], sums[keep]
+            if uniq.size == 0:
+                return []
+        if mode == "tfidf":
+            q_norm = math.sqrt(q_sq)
+            norms = self._norms().reindex(uniq).to_numpy(dtype=np.float64)
+            norms = np.where((norms == 0) | np.isnan(norms), 1.0, norms)
+            sums = sums / (norms * q_norm) if q_norm > 0 else sums * 0.0
+        order = np.lexsort((uniq, -sums))[:top_k]
+        return [(int(uniq[i]), float(sums[i])) for i in order]
+
+    # -- distributed path -----------------------------------------------------
+    def search_distributed(
+        self,
+        query: str,
+        top_k: int = 10,
+        mode: str = "bm25",
+        conjunctive: bool = False,
+    ) -> DataFrame:
+        """Executor-side scoring: decode → one groupBy(doc_id) → top-k.
+
+        Scales to arbitrarily hot terms (nothing term-sized is collected
+        to the driver). Returns a DataFrame (doc_id, score)."""
+        spark = self.spark
+        q_tfs = self._query_terms(query)
+        if not q_tfs:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        dfs = self._fetch_dfs(sorted(q_tfs))
+        terms = [t for t in sorted(q_tfs) if t in dfs]
+        if not terms or (conjunctive and len(terms) < len(q_tfs)):
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        n_terms = len(terms)
+        k1, b, avgdl, n_docs = self.k1, self.b, self.avgdl, self.n_docs
+        if mode == "bm25":
+            term_w = {t: float(q_tfs[t]) * bm25_idf(dfs[t], n_docs) for t in terms}
+        else:
+            term_w = {t: tfidf_weight(q_tfs[t], dfs[t], n_docs) for t in terms}
+        term_df = {t: dfs[t] for t in terms}
+        q_norm = math.sqrt(sum(w * w for w in term_w.values())) if mode == "tfidf" else 1.0
+        contrib_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("contrib", T.DoubleType(), False),
+            ]
+        )
+
+        def decode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    d, t, l = codec.decode_postings(bytes(row.payload), int(row.df_chunk))
+                    if mode == "bm25":
+                        c = term_w[row.term] * codec.bm25_partials(t, l, avgdl, k1, b)
+                    else:
+                        idf10 = math.log10(n_docs / term_df[row.term])
+                        c = ((1.0 + np.log10(t.astype(np.float64))) * idf10) * term_w[row.term]
+                    outs.append(pd.DataFrame({"doc_id": d, "contrib": c}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        chunks = self.index_df.where(F.col("term").isin(terms)).select(
+            "term", "df_chunk", "payload"
+        )
+        scored = chunks.mapInPandas(decode_score, contrib_schema)
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("n_hit")
+        )
+        if conjunctive:
+            agg = agg.where(F.col("n_hit") == n_terms)
+        if mode == "tfidf":
+            ds = self.doc_stats_df.select(
+                "doc_id", F.when(F.col("norm") == 0, 1.0).otherwise(F.col("norm")).alias("norm")
+            )
+            agg = agg.join(ds, "doc_id").withColumn(
+                "score", F.col("score") / (F.col("norm") * F.lit(q_norm))
+            )
+        return (
+            agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+
+
+# --------------------------------------------------------------------------
+# Block-max WAND (driver-side)
+# --------------------------------------------------------------------------
+
+class TermCursor:
+    """Cursor over one term's doc-ordered chunk sequence with lazy
+    per-block decoding (C4 block-max metadata from the codec)."""
+
+    __slots__ = (
+        "qw", "k1", "b", "avgdl", "block_size", "chunks", "flat_last",
+        "flat_first", "flat_max", "flat_chunk", "flat_local", "n_blocks",
+        "blk", "idx", "cur_doc", "_docs", "_tfs", "_dls", "max_score",
+    )
+
+    def __init__(self, chunk_rows: pd.DataFrame, qw: float, k1: float, b: float, avgdl: float, block_size: int):
+        self.qw = qw
+        self.k1, self.b, self.avgdl, self.block_size = k1, b, avgdl, block_size
+        self.chunks = []  # (payload, offsets, n_postings)
+        flat_last, flat_first, flat_max, flat_chunk, flat_local = [], [], [], [], []
+        for ci, row in enumerate(chunk_rows.itertuples(index=False)):
+            offsets = np.asarray(row.block_offsets, dtype=np.int64)
+            self.chunks.append((bytes(row.payload), offsets, int(row.df_chunk)))
+            last = np.asarray(row.block_last, dtype=np.int64)
+            first = np.asarray(row.block_first, dtype=np.int64)
+            bmax = np.asarray(row.block_max_partial, dtype=np.float64)
+            flat_last.append(last)
+            flat_first.append(first)
+            flat_max.append(bmax)
+            flat_chunk.append(np.full(len(last), ci, dtype=np.int64))
+            flat_local.append(np.arange(len(last), dtype=np.int64))
+        self.flat_last = np.concatenate(flat_last) if flat_last else np.zeros(0, np.int64)
+        self.flat_first = np.concatenate(flat_first) if flat_first else np.zeros(0, np.int64)
+        self.flat_max = np.concatenate(flat_max) if flat_max else np.zeros(0, np.float64)
+        self.flat_chunk = np.concatenate(flat_chunk) if flat_chunk else np.zeros(0, np.int64)
+        self.flat_local = np.concatenate(flat_local) if flat_local else np.zeros(0, np.int64)
+        self.n_blocks = len(self.flat_last)
+        self.max_score = qw * float(self.flat_max.max()) if self.n_blocks else 0.0
+        self.blk = -1
+        self.idx = 0
+        self._docs = self._tfs = self._dls = None
+        self.cur_doc = -1
+        if self.n_blocks:
+            self._load_block(0)
+        else:
+            self.cur_doc = _INF
+
+    def _load_block(self, blk: int) -> None:
+        self.blk = blk
+        ci = int(self.flat_chunk[blk])
+        lj = int(self.flat_local[blk])
+        payload, offsets, n_postings = self.chunks[ci]
+        prev_last = None
+        if lj > 0:
+            # previous block within the same chunk
+            prev_last = int(self.flat_last[blk - 1])
+        d, t, l = codec.decode_block(
+            payload, offsets, lj, n_postings, self.block_size, prev_last
+        )
+        self._docs, self._tfs, self._dls = d, t, l
+        self.idx = 0
+        self.cur_doc = int(d[0])
+
+    def block_upper_bound(self) -> float:
+        return self.qw * float(self.flat_max[self.blk])
+
+    def current_block_last(self) -> int:
+        return int(self.flat_last[self.blk])
+
+    def score_current(self) -> float:
+        tf = float(self._tfs[self.idx])
+        dl = float(self._dls[self.idx])
+        denom = tf + self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl if self.avgdl > 0 else 0.0))
+        return self.qw * (tf * (self.k1 + 1.0) / denom if denom > 0 else 0.0)
+
+    def advance(self) -> None:
+        """Move to next posting."""
+        self.idx += 1
+        if self.idx < len(self._docs):
+            self.cur_doc = int(self._docs[self.idx])
+            return
+        if self.blk + 1 < self.n_blocks:
+            self._load_block(self.blk + 1)
+        else:
+            self.cur_doc = _INF
+
+    def advance_to(self, target: int) -> None:
+        """Galloping skip to first doc >= target using block metadata."""
+        if self.cur_doc >= target:
+            return
+        if self.flat_last[self.blk] < target:
+            nxt = int(np.searchsorted(self.flat_last, target, side="left"))
+            if nxt >= self.n_blocks:
+                self.cur_doc = _INF
+                return
+            self._load_block(nxt)
+        # within current (possibly fresh) block
+        pos = int(np.searchsorted(self._docs[self.idx:], target, side="left")) + self.idx
+        if pos < len(self._docs):
+            self.idx = pos
+            self.cur_doc = int(self._docs[pos])
+        else:  # can only happen if target > last of final block
+            self.cur_doc = _INF
+
+
+_INF = 1 << 62
+
+
+def wand_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND over doc-ordered cursors. Exact top-k with total
+    order (-score, doc_id); pruning uses strict UB < θ so score ties are
+    still examined (doc_id tie-break preserved)."""
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) == k else -math.inf
+
+    active = [c for c in cursors if c.cur_doc < _INF]
+    while True:
+        active = [c for c in active if c.cur_doc < _INF]
+        if not active:
+            break
+        active.sort(key=lambda c: c.cur_doc)
+        th = theta()
+        prefix = 0.0
+        pivot = -1
+        for i, c in enumerate(active):
+            prefix += c.max_score
+            if prefix >= th:
+                pivot = i
+                break
+        if pivot == -1:
+            break  # even all terms together can't reach θ
+        pivot_doc = active[pivot].cur_doc
+        if active[0].cur_doc == pivot_doc:
+            # group = every cursor currently positioned at pivot_doc
+            group_end = pivot + 1
+            while group_end < len(active) and active[group_end].cur_doc == pivot_doc:
+                group_end += 1
+            group = active[:group_end]
+            next_doc = active[group_end].cur_doc if group_end < len(active) else _INF
+            bm = sum(c.block_upper_bound() for c in group)
+            if bm < th:
+                # no doc in [pivot_doc, min block_last] can beat θ from
+                # these cursors, and later cursors start at next_doc
+                target = min(min(c.current_block_last() for c in group) + 1, next_doc)
+                target = max(target, pivot_doc + 1)
+                for c in group:
+                    c.advance_to(target)
+            else:
+                score = sum(c.score_current() for c in group)
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                for c in group:
+                    c.advance()
+        else:
+            # move lagging cursors up to the pivot document
+            for c in active[:pivot]:
+                if c.cur_doc < pivot_doc:
+                    c.advance_to(pivot_doc)
+    out = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
+    return [(doc, s) for doc, s in out]
+
+
+def project_results(
+    corpus: DataFrame, results: DataFrame, fields: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """J4 (SURVEY.md §2.5): materialize top-k rows — broadcast the k-row
+    result side into the corpus scan."""
+    joined = corpus.join(F.broadcast(results), on=id_col, how="inner")
+    cols = [F.col(id_col)] + [
+        (F.col(f) if f in corpus.columns else F.lit("N/A").alias(f)) for f in fields
+    ] + [F.col("score")]
+    return joined.select(*cols).orderBy(F.desc("score"), F.asc(id_col))

@@ -1,0 +1,113 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1) + loaders.
+
+The north-rule input is an Iceberg-style table
+``(repo, path, commit, lang, content)`` (BASELINE.json:input_hint). No such
+table ships with the sandbox, so we synthesize it deterministically:
+``content`` for row i is a pure function of i (seeded per-row RNG), making
+generation distributed, partitioning-invariant and reproducible.
+
+The mix (Zipfian keywords → hot terms for skew tests, camel/snake
+identifiers, English words from the reference test sentences, empty rows,
+duplicate-content rows) follows FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+_EXTS = [("py", "python"), ("java", "java"), ("scala", "scala"), ("go", "go"), ("md", "markdown")]
+
+# Zipf-head code keywords -> deliberately hot terms (skew exercise).
+_KEYWORDS = (
+    "def return self import class public static void func var val if else "
+    "for while try except finally new int string bool none null true false"
+).split()
+
+_IDENT_HEADS = "parse build merge sort scan read write load store index query fetch emit".split()
+_IDENT_TAILS = "Buffer Index Table Request Response Handler Writer Reader Block Segment Cursor".split()
+
+_ENGLISH = (
+    "the quick brown foxes jump over lazy dogs pack boxes with five dozen "
+    "liquor jugs wizards jumped quickly flowers are blooming gardens running "
+    "cats playing spring season fields binary search tree inverted posting "
+    "list term frequency document ranking relevance score"
+).split()
+
+_SEED0 = 42
+
+
+def _row_content(i: int) -> str:
+    if i % 997 == 0:
+        return ""  # empty docs exercise N-counting (app/InvertedIndex.py:34)
+    if i % 500 == 499:
+        return _row_content(i - 1)  # duplicate-content rows (sha256 dedup visibility)
+    rng = np.random.default_rng(_SEED0 + i)
+    n_tokens = int(rng.integers(50, 400)) if i % 17 else int(rng.integers(400, 2000))
+    # Zipfian keyword choice — rank ~ zipf
+    kw_idx = np.minimum(rng.zipf(1.3, size=n_tokens // 2) - 1, len(_KEYWORDS) - 1)
+    kws = [_KEYWORDS[k] for k in kw_idx]
+    n_id = n_tokens // 4
+    heads = rng.integers(0, len(_IDENT_HEADS), n_id)
+    tails = rng.integers(0, len(_IDENT_TAILS), n_id)
+    snake = rng.random(n_id) < 0.5
+    idents = [
+        f"{_IDENT_HEADS[h]}_{_IDENT_TAILS[t].lower()}" if s else f"{_IDENT_HEADS[h]}{_IDENT_TAILS[t]}"
+        for h, t, s in zip(heads, tails, snake)
+    ]
+    eng_idx = rng.integers(0, len(_ENGLISH), n_tokens - len(kws) - n_id)
+    eng = [_ENGLISH[e] for e in eng_idx]
+    toks = kws + idents + eng
+    order = rng.permutation(len(toks))
+    return " ".join(toks[j] for j in order)
+
+
+def _gen_rows(lo: int, hi: int) -> pd.DataFrame:
+    idx = np.arange(lo, hi)
+    ext = [_EXTS[int(i) % len(_EXTS)] for i in idx]
+    return pd.DataFrame(
+        {
+            "repo": [f"org{i % 7}/repo{i % 23}" for i in idx],
+            "path": [f"src/mod{i % 13}/file{i}.{e[0]}" for i, e in zip(idx, ext)],
+            "commit": [f"{(i * 2654435761) % (1 << 60):015x}a" for i in idx],
+            "lang": [e[1] for e in ext],
+            "content": [_row_content(int(i)) for i in idx],
+        }
+    )
+
+
+def synthetic_code_corpus(spark: SparkSession, n_rows: int = 2000, n_partitions: int = 32) -> DataFrame:
+    """Distributed deterministic corpus: content(i) is a pure function of i."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy()
+            if len(ids):
+                # spark.range partitions are contiguous ascending slices
+                yield _gen_rows(int(ids[0]), int(ids[-1]) + 1)
+
+    rng = spark.range(0, n_rows, 1, n_partitions)
+    return rng.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver testdata documents table (doc_id, text, lang, source, n_chars)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

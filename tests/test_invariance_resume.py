@@ -1,0 +1,110 @@
+"""Partitioning-invariance and kill-resume tests (SURVEY.md §5.4).
+
+- results identical under different input partitioning and bucket/salt
+  counts;
+- a killed build (simulated by deleting a committed bucket segment)
+  resumes by rebuilding ONLY the missing unit, and the resumed index is
+  identical to a fresh build.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from pyfusedb_spark.analysis import Analyzer
+from pyfusedb_spark.operators.build import IndexConfig, build_index
+from pyfusedb_spark.operators.query import FuseIndex
+from pyfusedb_spark.oracle import OracleIndex
+from pyfusedb_spark.sources.corpus import synthetic_code_corpus
+
+from tests.test_oracle import PANGRAMS
+
+QUERIES = ["quick fox", "jumping wizards", "flower bloom dog"]
+
+
+def _search_all(idx: FuseIndex, queries=QUERIES):
+    return {q: idx.search(q, 10) for q in queries}
+
+
+def test_invariance_under_partitioning_and_salt(spark, tmp_path):
+    corpus8 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS)], "doc_id long, content string"
+    ).repartition(8)
+    corpus2 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS)], "doc_id long, content string"
+    ).repartition(2)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    build_index(spark, corpus8, out_a, doc_id_col="doc_id",
+                config=IndexConfig(n_buckets=1, shuffle_partitions=2))
+    build_index(spark, corpus2, out_b, doc_id_col="doc_id",
+                config=IndexConfig(n_buckets=5, shuffle_partitions=7))
+    ia, ib = FuseIndex(spark, out_a), FuseIndex(spark, out_b)
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    for q in QUERIES:
+        ra, rb = ia.search(q, 10), ib.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in ra] == [d for d, _ in rb] == [d for d, _ in expect]
+        np.testing.assert_allclose([s for _, s in ra], [s for _, s in rb], atol=1e-9)
+
+
+def test_kill_resume(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS)], "doc_id long, content string"
+    )
+    out = str(tmp_path / "resume")
+    cfg = IndexConfig(n_buckets=4, shuffle_partitions=4)
+    build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg)
+    idx = FuseIndex(spark, out)
+    before = _search_all(idx)
+
+    # simulate a kill after bucket=1 was lost: remove its data + manifest
+    shutil.rmtree(os.path.join(out, "index", "bucket=1"))
+    os.remove(os.path.join(out, "_manifests", "bucket=1.json"))
+    # lexicon depends on every bucket -> drop its manifest too
+    os.remove(os.path.join(out, "_manifests", "stage_lexicon.json"))
+
+    # record mtimes of the untouched committed segments
+    untouched = {}
+    for b in (0, 2, 3):
+        d = os.path.join(out, "index", f"bucket={b}")
+        untouched[b] = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg, resume=True)
+
+    for b, mtime in untouched.items():
+        d = os.path.join(out, "index", f"bucket={b}")
+        assert max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)) == mtime, (
+            f"bucket {b} was rebuilt but should have been skipped"
+        )
+    after = _search_all(FuseIndex(spark, out))
+    assert before == after
+
+
+def test_synthetic_corpus_deterministic_and_invariant(spark):
+    a = synthetic_code_corpus(spark, 600, n_partitions=4).orderBy("path").collect()
+    b = synthetic_code_corpus(spark, 600, n_partitions=9).orderBy("path").collect()
+    assert a == b
+    # empty + duplicate rows present as specified (FIXTURES.md §1)
+    contents = {r["path"]: r["content"] for r in a}
+    empties = [p for p, c in contents.items() if c == ""]
+    assert empties, "expected some empty docs"
+    by_num = {p.split("file")[1].split(".")[0]: c for p, c in contents.items()}
+    assert by_num["499"] == by_num["498"] and by_num["499"] != ""
+
+
+def test_sha256_lineage_invariant(spark, tmp_path):
+    """input_hint per-row invariant: sha256 lineage equal across rebuilds."""
+    out_a, out_b = str(tmp_path / "la"), str(tmp_path / "lb")
+    corpus = synthetic_code_corpus(spark, 200, n_partitions=3)
+    sa = build_index(spark, corpus, out_a, sort_cols=["repo", "path", "commit"],
+                     config=IndexConfig(preset="code", n_buckets=2, compute_norms=False,
+                                        shuffle_partitions=4))
+    sb = build_index(spark, corpus.repartition(7), out_b, sort_cols=["repo", "path", "commit"],
+                     config=IndexConfig(preset="code", n_buckets=3, compute_norms=False,
+                                        shuffle_partitions=4))
+    assert sa["sha256_lineage_sum"] == sb["sha256_lineage_sum"]
+    assert sa["n_docs"] == sb["n_docs"] == 200
+    assert sa["n_postings"] == sb["n_postings"]
