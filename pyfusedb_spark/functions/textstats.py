@@ -1,0 +1,122 @@
+"""Text-analysis functions for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(simple + BPE-ish regex), and document fingerprinting. Everything here
+is built from JVM-side ``pyspark.sql.functions`` expressions so the hot
+path is whole-stage-codegen'd — and every formula is mirrorable in ANSI
+SQL for the DuckDB oracle (``__spark_entry__.oracle_sql``). The rolling-
+hash fingerprint uses ``F.aggregate`` over the token array with modular
+arithmetic that DuckDB's ``list_reduce`` reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pyfusedb_spark.analysis import TOKEN_PATTERN, STOPWORDS
+
+# tiny per-language stopword marker sets (public common-word lists)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with", "for", "it"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
+}
+
+# BPE-ish pretokenizer: words / numbers / punctuation runs. Same regex
+# semantics in Java regex (Spark) and RE2 (DuckDB) — no lookaround.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+FP_MOD = 2147483647  # 2^31-1; keeps F.aggregate / list_reduce in safe BIGINT range
+FP_MUL = 31
+
+
+def tokens_expr(col: str) -> Column:
+    """Lowercased simple tokens (matches analysis.Analyzer('simple')
+    before stop/length filtering). Null text -> empty token list."""
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(col), F.lit(""))), F.lit(TOKEN_PATTERN), 0
+    )
+
+
+def token_count(col: str) -> Column:
+    return F.size(tokens_expr(col)).cast("long")
+
+
+def bpe_token_count(col: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.coalesce(F.col(col), F.lit("")), F.lit(BPE_PATTERN), 0)
+    ).cast("long")
+
+
+def stopword_ratio(col: str) -> Column:
+    toks = tokens_expr(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: str) -> Column:
+    toks = tokens_expr(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: str) -> Column:
+    """Fraction of characters that are a-z/A-Z (punctuation-noise proxy)."""
+    n = F.length(col)
+    n_alpha = F.length(F.regexp_replace(F.col(col), "[^a-zA-Z]", ""))
+    return F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str) -> Column:
+    """Deterministic [0,1] quality heuristic: balanced token count,
+    reasonable word lengths, some (but not all) stopwords, mostly
+    alphabetic. SQL-mirrorable (no UDF)."""
+    nt = token_count(col).cast("double")
+    len_ok = F.when((nt >= 10) & (nt <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    mtl = mean_token_len(col)
+    mtl_ok = F.when((mtl >= 2.5) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.4))
+    swr = stopword_ratio(col)
+    swr_ok = F.when((swr >= 0.05) & (swr <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok * 0.4 + mtl_ok * 0.3 + swr_ok * 0.3) * alpha_ratio(col), 6)
+
+
+def langid_scores(col: str) -> dict[str, Column]:
+    toks = tokens_expr(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def langid(col: str) -> Column:
+    """argmax language by marker hits; ties broken by lang name asc;
+    'und' when no marker hits at all."""
+    scores = langid_scores(col)
+    langs = sorted(scores)  # asc order = deterministic tie-break
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    total = None
+    for lang in langs:
+        total = scores[lang] if total is None else total + scores[lang]
+    return F.when(total > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str) -> Column:
+    """Order-sensitive rolling hash over simple tokens:
+    h = (h*31 + (len(tok)*131 + ascii(first char))) mod (2^31-1).
+    Exactly reproducible in DuckDB via list_reduce (see oracle SQL)."""
+    toks = tokens_expr(col)
+    step = lambda acc, t: (acc * FP_MUL + (F.length(t) * 131 + F.ascii(F.substring(t, 1, 1)))) % FP_MOD  # noqa: E731
+    return F.aggregate(toks, F.lit(0).cast("long"), step)

@@ -1,0 +1,326 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (its only dedup is drop-duplicates on a key,
+``app/DataLoader.py:40``, and max-score result dedup,
+``app/GradioUI.py:82-95``) — these are the operations a 100 TB corpus
+pipeline needs. All hashing is deterministic (seeded numpy, no wall
+clock), so results are partitioning-invariant.
+
+Scale notes: exact dedup is one hash-groupBy shuffle on a 64-hex key.
+MinHash-LSH shuffles (doc, band_hash) rows — ``num_perm`` signatures per
+doc, band buckets bound the candidate join; the pair-verify stage joins
+only candidate pairs back to content (broadcast-safe when candidates are
+rare, shuffle-join otherwise). SimHash is a narrow pass + band groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyfusedb_spark.analysis import Analyzer
+
+_MERSENNE = (1 << 61) - 1
+
+
+# --------------------------------------------------------------------------
+# exact dedup (sha256 hash-groupBy)
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Rows whose text is byte-identical to an earlier (lower-id) row.
+
+    Returns (doc_id, keeper_id, sha) for every non-keeper duplicate.
+    One shuffle: groupBy on the content hash; the keeper is min(id).
+    """
+    hashed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.sha2(F.col(text_col), 256).alias("sha")
+    )
+    keepers = hashed.groupBy("sha").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        hashed.join(keepers, "sha")
+        .where((F.col("n") > 1) & (F.col("doc_id") != F.col("keeper_id")))
+        .select("doc_id", "keeper_id", "sha")
+    )
+
+
+# --------------------------------------------------------------------------
+# token shingles + deterministic 61-bit string hash (shared by minhash/simhash)
+# --------------------------------------------------------------------------
+
+def _hash_strings(strings: list[str]) -> np.ndarray:
+    """Deterministic polynomial hash of utf-8 strings into [0, 2^61-1)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        h = np.uint64(1469598103934665603)  # FNV-ish seed
+        for byte in s.encode("utf-8"):
+            h = (h * np.uint64(1099511628211) + np.uint64(byte)) % np.uint64(_MERSENNE)
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(text: str, analyzer: Analyzer, k: int) -> np.ndarray:
+    toks = analyzer.tokenize(text or "")
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(_hash_strings(shingles)) if shingles else np.zeros(0, np.uint64)
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    preset: str = "simple",
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — MinHash over k-token shingles."""
+    from pyfusedb_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    a, b = _minhash_params(num_perm)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        az = Analyzer(preset)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                hs = _shingle_hashes(text, az, shingle_k)
+                if hs.size == 0:
+                    sig = np.full(num_perm, _MERSENNE - 1, dtype=np.uint64)
+                else:
+                    # (a*h + b) mod p, min over shingles, vectorized
+                    vals = (hs[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+                    sig = vals.min(axis=1)
+                rows.append((int(doc_id), sig.astype(np.int64).tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "sig"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(gen, schema)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signatures, bucket-join: docs sharing any band are
+    candidates. Returns distinct (a, b) with a < b."""
+    sig_len = len(signatures.select("sig").first()["sig"])
+    rows_per_band = sig_len // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    preset: str = "simple",
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps >= threshold.
+
+    Joins candidate ids back to content twice; candidates are typically
+    a tiny fraction of n^2 so both joins stay cheap."""
+    from pyfusedb_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    docs = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text"))
+    withtext = (
+        pairs.join(docs.withColumnRenamed("doc_id", "a").withColumnRenamed("_text", "text_a"), "a")
+        .join(docs.withColumnRenamed("doc_id", "b").withColumnRenamed("_text", "text_b"), "b")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("jaccard", T.DoubleType(), False),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        az = Analyzer(preset)
+        for pdf in batches:
+            rows = []
+            for a_id, b_id, ta, tb in zip(
+                pdf["a"].tolist(), pdf["b"].tolist(), pdf["text_a"].tolist(), pdf["text_b"].tolist()
+            ):
+                sa = _shingle_hashes(ta, az, shingle_k)
+                sb = _shingle_hashes(tb, az, shingle_k)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                rows.append((int(a_id), int(b_id), inter / union if union else 0.0))
+            yield pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+    out = withtext.select("a", "b", "text_a", "text_b").mapInPandas(verify, schema)
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    preset: str = "simple",
+) -> DataFrame:
+    """Full shingle→minhash→band→bucket-join→verify pipeline."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, preset)
+    pairs = lsh_candidate_pairs(sigs, bands)
+    return jaccard_verify_pairs(pairs, df, text_col, id_col, threshold, shingle_k, preset)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str, preset: str = "simple") -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash of tf-weighted token hashes."""
+    from pyfusedb_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        az = Analyzer(preset)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                tfs = az.term_freqs(text or "")
+                if not tfs:
+                    rows.append((int(doc_id), 0))
+                    continue
+                hs = _hash_strings(list(tfs.keys()))
+                w = np.fromiter(tfs.values(), dtype=np.float64, count=len(tfs))
+                bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.float64)
+                acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+                sh = np.uint64(0)
+                for j in range(64):
+                    if acc[j] > 0:
+                        sh |= np.uint64(1) << np.uint64(j)
+                rows.append((int(doc_id), int(np.int64(sh))))
+            yield pd.DataFrame(rows, columns=["doc_id", "simhash"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(gen, schema)
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                            max_hamming: int = 3, preset: str = "simple") -> DataFrame:
+    """Hamming-ball pairs via 4x16-bit band blocking (a pair within
+    hamming<=3 shares at least one of 4 bands exactly)."""
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select("a", "b", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# --------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= threshold.
+
+    Brute-force self-join baseline (O(n^2) — use LSH bucketing from
+    operators.knn for the scale path); cosine via built-in zip_with/
+    aggregate so everything stays JVM-side."""
+    n = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    l, r = n.alias("l"), n.alias("r")
+    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    denom = F.col("l.nrm") * F.col("r.nrm")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

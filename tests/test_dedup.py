@@ -1,0 +1,75 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, embedding-cosine."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyfusedb_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 0
+    (3, "completely different content about spark inverted index construction pipelines"),
+    (4, "another unrelated document mentioning varint compression and block max metadata"),
+    (5, ""),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs_df):
+    rows = {(r["doc_id"], r["keeper_id"]) for r in
+            dedup.exact_duplicates(docs_df, "text", "doc_id").collect()}
+    assert rows == {(1, 0), (6, 5)}
+
+
+def test_minhash_lsh_near_duplicates(docs_df):
+    out = dedup.minhash_near_duplicates(
+        docs_df.where(F.col("doc_id") < 5), "text", "doc_id",
+        num_perm=64, bands=16, threshold=0.5,
+    ).collect()
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_signature_deterministic(docs_df):
+    s1 = dedup.minhash_signatures(docs_df, "text", "doc_id").orderBy("doc_id").collect()
+    s2 = dedup.minhash_signatures(docs_df.repartition(5), "text", "doc_id").orderBy("doc_id").collect()
+    assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+    # identical docs -> identical signatures
+    assert s1[0]["sig"] == s1[1]["sig"]
+
+
+def test_simhash_near_duplicates(docs_df):
+    out = dedup.simhash_near_duplicates(docs_df, "text", "doc_id", max_hamming=3)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
+    assert pairs.get((0, 1)) == 0  # identical docs -> hamming 0
+    assert pairs.get((5, 6)) == 0  # empty docs hash to 0
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0]),   # ~same direction as 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.98, 0.2]),     # ~same direction as 2
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(emb, threshold=0.97)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert pairs == {(0, 1), (2, 3)}
+
+
+def test_lsh_candidates_cover_true_jaccard_pairs(docs_df):
+    """LSH with these band settings must surface the known >=0.5 pairs."""
+    sigs = dedup.minhash_signatures(docs_df.where(F.col("doc_id") < 5), "text", "doc_id")
+    cand = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(sigs, bands=16).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= cand
