@@ -384,15 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis ----
     def text_quality(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id",
-            textstats.token_count("text").alias("n_tok"),
-            textstats.bpe_token_count("text").alias("n_bpe"),
-            F.round(textstats.stopword_ratio("text"), 6).alias("stop_ratio"),
-            F.round(textstats.mean_token_len("text"), 6).alias("mean_tok_len"),
-            F.round(textstats.alpha_ratio("text"), 6).alias("alpha_ratio"),
-            textstats.quality_score("text").alias("quality"),
-        )
+        return textstats.text_profile(_docs(spark, sf), "text", "doc_id")
 
     def text_langid(spark, sf):
         return _docs(spark, sf).select("doc_id", textstats.langid("text").alias("lang_guess"))

@@ -1,0 +1,149 @@
+"""Benchmark driver: headline build + query timings, ONE JSON line.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_SYNTH_ROWS    if set (>0), ALSO benchmark an index build over the
+                      deterministic synthetic code corpus of that many
+                      rows (used by scripts/bench_scaling.py for the
+                      N->4N scaling-efficiency evidence)
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-step sec...}, "sf": <sf>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_rows = int(os.environ.get("BENCH_SYNTH_ROWS", "0"))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pyfusedb-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyfusedb_spark.functions import textstats
+    from pyfusedb_spark.operators import dedup, knn
+    from pyfusedb_spark.operators.build import IndexConfig, build_index
+    from pyfusedb_spark.operators.query import FuseIndex
+    from pyfusedb_spark.sources.corpus import synthetic_code_corpus
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    # ---- index build over the documents table (fresh, no resume) ----
+    idx_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_idx_{cpus}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        spark, docs, idx_dir, content_col="text", doc_id_col="doc_id",
+        config=IndexConfig(preset="simple", n_buckets=4, shuffle_partitions=cpus),
+        resume=False,
+    )
+    timings["build_index"] = round(time.perf_counter() - t0, 3)
+    extras["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
+    idx = FuseIndex(spark, idx_dir)
+
+    # ---- BM25 / TF-IDF query latency (driver WAND path), median of 5 ----
+    def med(fn, n=5):
+        xs = []
+        for _ in range(n):
+            t = time.perf_counter()
+            fn()
+            xs.append(time.perf_counter() - t)
+        return round(statistics.median(xs), 4)
+
+    timings["q_bm25_hot"] = med(lambda: idx.search("join", 10))
+    timings["q_bm25_multi"] = med(lambda: idx.search("merge sort join", 10))
+    timings["q_bm25_and"] = med(lambda: idx.search("merge sort", 10, conjunctive=True))
+    timings["q_tfidf"] = med(lambda: idx.search("merge sort", 10, mode="tfidf"))
+    t0 = time.perf_counter()
+    idx.search_distributed("merge sort join", 10).collect()
+    timings["q_bm25_distributed"] = round(time.perf_counter() - t0, 4)
+
+    # ---- training-data ops ----
+    t0 = time.perf_counter()
+    n_pairs = dedup.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.8).count()
+    timings["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+    extras["minhash_pairs"] = n_pairs
+
+    t0 = time.perf_counter()
+    dedup.exact_duplicates(docs, "text", "doc_id").count()
+    timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    t0 = time.perf_counter()
+    knn.brute_force_topk(emb, list(qv), 10).collect()
+    timings["knn_brute"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    textstats.text_profile(docs, "text", "doc_id").write.format("noop").mode("overwrite").save()
+    docs.select(
+        "doc_id", textstats.fingerprint("text").alias("fp"), textstats.langid("text").alias("lang")
+    ).write.format("noop").mode("overwrite").save()
+    timings["text_stats_scan"] = round(time.perf_counter() - t0, 3)
+
+    # ---- optional: synthetic-corpus build (scaling evidence) ----
+    if synth_rows > 0:
+        corpus = synthetic_code_corpus(spark, synth_rows, n_partitions=max(cpus * 2, 8))
+        sdir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_synth_{cpus}")
+        shutil.rmtree(sdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            spark, corpus, sdir, sort_cols=["repo", "path", "commit"],
+            config=IndexConfig(preset="code", n_buckets=4, compute_norms=False,
+                               shuffle_partitions=cpus),
+            resume=False,
+        )
+        secs = time.perf_counter() - t0
+        timings["build_synth"] = round(secs, 3)
+        extras["synth_rows"] = synth_rows
+        extras["synth_docs_per_sec"] = round(synth_rows / secs, 1)
+        sidx = FuseIndex(spark, sdir)
+        timings["q_synth_bm25"] = med(lambda: sidx.search("mergeSegment binary search", 10))
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "pyfusedb_spark headline suite (index build + BM25/TF-IDF top-10 + dedup + knn + textstats)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,57 @@ def langid(col: str) -> Column:
     return F.when(total > 0, best).otherwise(F.lit("und"))
 
 
+def text_profile(df, text_col: str, id_col: str):
+    """All text metrics in ONE pass: tokens are projected once into an
+    intermediate column, every metric derives from that column, and the
+    quality score derives from the metric COLUMNS — avoiding the
+    combinatorial expression duplication (repeated regexp_extract_all +
+    big stopword literal arrays) that blows up codegen when the
+    individual expressions above are combined in a single select."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens_expr(text_col).alias("_toks"),
+    )
+    base = toks.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tok"),
+        F.size(
+            F.regexp_extract_all(F.coalesce(F.col("_text"), F.lit("")), F.lit(BPE_PATTERN), 0)
+        ).cast("long").alias("n_bpe"),
+        F.when(
+            F.size("_toks") > 0,
+            F.size(F.filter("_toks", lambda t: F.array_contains(sw, t)))
+            / F.size("_toks"),
+        ).otherwise(F.lit(0.0)).alias("_swr"),
+        F.when(
+            F.size("_toks") > 0,
+            F.aggregate("_toks", F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / F.size("_toks"),
+        ).otherwise(F.lit(0.0)).alias("_mtl"),
+        F.when(
+            F.length("_text") > 0,
+            F.length(F.regexp_replace(F.col("_text"), "[^a-zA-Z]", "")).cast("double")
+            / F.length("_text"),
+        ).otherwise(F.lit(0.0)).alias("_alpha"),
+    )
+    len_ok = F.when((F.col("n_tok") >= 10) & (F.col("n_tok") <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    mtl_ok = F.when((F.col("_mtl") >= 2.5) & (F.col("_mtl") <= 12.0), F.lit(1.0)).otherwise(F.lit(0.4))
+    swr_ok = F.when((F.col("_swr") >= 0.05) & (F.col("_swr") <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return base.select(
+        id_col,
+        "n_tok",
+        "n_bpe",
+        F.round("_swr", 6).alias("stop_ratio"),
+        F.round("_mtl", 6).alias("mean_tok_len"),
+        F.round("_alpha", 6).alias("alpha_ratio"),
+        F.round((len_ok * 0.4 + mtl_ok * 0.3 + swr_ok * 0.3) * F.col("_alpha"), 6).alias("quality"),
+    )
+
+
 def fingerprint(col: str) -> Column:
     """Order-sensitive rolling hash over simple tokens:
     h = (h*31 + (len(tok)*131 + ascii(first char))) mod (2^31-1).
