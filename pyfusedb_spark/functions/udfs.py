@@ -159,6 +159,83 @@ def make_chunk_encoder(avgdl: float, k1: float, b: float, block_size: int):
     return mapper
 
 
+CHUNK_SCHEMA_BUCKETED = T.StructType(
+    [T.StructField("bucket", T.IntegerType(), False)] + list(CHUNK_SCHEMA.fields)
+)
+
+_GK_SEP = "\x1f"
+
+
+def make_grouped_chunk_encoder(avgdl: float, k1: float, b: float, block_size: int):
+    """Single-pass variant: input rows carry ``gkey = term\\x1fbucket``
+    and are sorted by (gkey, doc_id) within the partition; output adds
+    the bucket column so one job can write every bucket directory
+    (write.partitionBy('bucket')). Carry-over across record batches works
+    exactly as in make_chunk_encoder."""
+
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        gkeys = pdf["gkey"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+        uniq, starts = np.unique(gkeys, return_index=True)
+        order = np.argsort(starts)
+        starts = starts[order]
+        uniq = uniq[order]
+        bounds = np.append(starts, len(gkeys))
+        rows = []
+        for gi in range(len(uniq)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            term, bucket = uniq[gi].rsplit(_GK_SEP, 1)
+            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+            ud, first_idx = np.unique(d, return_index=True)
+            if len(ud) != len(d):
+                seg = np.searchsorted(d, ud)
+                t = np.add.reduceat(t, seg)
+                l = l[first_idx]
+                d = ud
+            chunk = codec.encode_postings(d, t, l, avgdl, k1, b, block_size)
+            micros = int((time.perf_counter() - t0) * 1e6)
+            rows.append(
+                (
+                    int(bucket),
+                    term,
+                    int(len(d)),
+                    int(t.sum()),
+                    chunk.payload,
+                    chunk.block_offsets.tolist(),
+                    chunk.block_first.tolist(),
+                    chunk.block_last.tolist(),
+                    chunk.block_max_partial.tolist(),
+                    chunk.max_partial,
+                    micros,
+                )
+            )
+            t0 = time.perf_counter()
+        return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA_BUCKETED.fields])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        leftover: pd.DataFrame | None = None
+        for batch in batches:
+            if leftover is not None and len(leftover):
+                batch = pd.concat([leftover, batch], ignore_index=True)
+                leftover = None
+            if not len(batch):
+                continue
+            gkeys = batch["gkey"].to_numpy()
+            last = gkeys[-1]
+            cut = np.searchsorted(gkeys, last, side="left")
+            leftover = batch.iloc[cut:]
+            complete = batch.iloc[:cut]
+            if len(complete):
+                yield encode_groups(complete)
+        if leftover is not None and len(leftover):
+            yield encode_groups(leftover)
+
+    return mapper
+
+
 def sha256_col(col: str = "content"):
     """F8 (SURVEY.md §2.3): per-row sha256 content hash — pure built-in
     (JVM-side, codegen), matching DuckDB's sha256() on UTF-8 bytes."""

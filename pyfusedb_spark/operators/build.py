@@ -47,7 +47,14 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyfusedb_spark.functions.udfs import CHUNK_SCHEMA, make_chunk_encoder, sha256_col, term_freqs_udf
+from pyfusedb_spark.functions.udfs import (
+    CHUNK_SCHEMA,
+    CHUNK_SCHEMA_BUCKETED,
+    make_chunk_encoder,
+    make_grouped_chunk_encoder,
+    sha256_col,
+    term_freqs_udf,
+)
 from pyfusedb_spark.operators.ids import assign_doc_ids
 from pyfusedb_spark.sources.catalog import ManifestCatalog
 
@@ -60,7 +67,29 @@ class IndexConfig:
     block_size: int = 128
     n_buckets: int = 8
     compute_norms: bool = True
-    shuffle_partitions: int | None = None  # per-bucket range partitions
+    shuffle_partitions: int | None = None  # posting-shuffle partitions
+    # "per-bucket": one Spark job per doc-range bucket -> finest resume
+    #   granularity (a killed build loses at most one bucket). Right at
+    #   cluster scale where each bucket job runs minutes.
+    # "single-pass": ONE shuffle job encodes every (term, bucket) group
+    #   and writes all bucket dirs via partitionBy — same on-disk format
+    #   and per-bucket manifests, but the posting phase is a single
+    #   commit/resume unit. Right when per-job fixed costs would dominate
+    #   (small corpora, local mode, benchmarks).
+    posting_mode: str = "per-bucket"
+
+
+def _local_agg(sql: str) -> dict:
+    """Driver-local parquet aggregation via DuckDB — replaces read-back
+    Spark jobs for manifest stats (each saved job is ~0.5-1.5s of serial
+    scheduling latency at toy scale; at cluster scale use the Spark
+    path). Falls back to None when duckdb is unavailable."""
+    try:
+        import duckdb  # noqa: PLC0415
+    except ImportError:
+        return None
+    pdf = duckdb.sql(sql).df()
+    return {c: pdf[c].iloc[0] for c in pdf.columns}
 
 
 def _dir_bytes(path: str) -> int:
@@ -103,17 +132,31 @@ def build_index(
     m_tf = cat.read_manifest("stage_tf") if resume else None
     if m_tf is None:
         t0 = time.perf_counter()
+        id_col = "doc_id"
+        persisted_docs = None
         if doc_id_col is None:
+            # assign_doc_ids persists its sorted intermediate; ids are
+            # dense 0..N-1 so count/max come free — no extra action, no
+            # second persist of the same data
             docs = assign_doc_ids(corpus, sort_cols or corpus.columns)
-            id_col = "doc_id"
+            n_docs = docs._pyfusedb_n_rows
+            max_id = n_docs - 1
         else:
             docs = corpus.withColumnRenamed(doc_id_col, "doc_id") if doc_id_col != "doc_id" else corpus
-            id_col = "doc_id"
-        agg = docs.agg(
-            F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("max_id")
-        ).collect()[0]
-        n_docs, max_id = int(agg["n"]), int(agg["max_id"] if agg["max_id"] is not None else 0)
+            # one materialization feeds the count/max agg AND the tokenize
+            # pass (at 100 TB you'd write this to disk instead)
+            docs = persisted_docs = docs.persist()
+            agg = docs.agg(
+                F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("max_id")
+            ).collect()[0]
+            n_docs = int(agg["n"])
+            max_id = int(agg["max_id"] if agg["max_id"] is not None else 0)
         bucket_span = max(1, math.ceil((max_id + 1) / config.n_buckets))
+        _dbg = os.environ.get("PYFUSEDB_TIMING") == "1"
+        if _dbg:
+            import sys
+
+            print(f"[tf] ids done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
         tfs_udf = term_freqs_udf(config.preset)
         tok = docs.select(
@@ -128,6 +171,8 @@ def build_index(
         # derive both from the materialization instead of caching)
         tok = tok.persist()
         tok.select("doc_id", "doc_len", "sha256").write.mode("overwrite").parquet(ds_dir)
+        if _dbg:
+            print(f"[tf] doc_stats written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         (
             tok.select(
                 "doc_id",
@@ -139,7 +184,14 @@ def build_index(
             .partitionBy("bucket")
             .parquet(tf_dir)
         )
+        if _dbg:
+            print(f"[tf] tf rows written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         tok.unpersist()
+        if persisted_docs is not None:
+            persisted_docs.unpersist()
+        cache = getattr(docs, "_pyfusedb_cache", None)
+        if cache is not None:
+            cache.unpersist()
         secs = time.perf_counter() - t0
         m_tf = {
             "data_dir": tf_dir,
@@ -157,21 +209,29 @@ def build_index(
     # ---------------- stage stats ----------------
     m_stats = cat.read_manifest("stage_stats") if resume else None
     if m_stats is None:
-        ds = spark.read.parquet(ds_dir)
-        row = ds.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("total_len"),
-            # order-independent sha256 lineage fingerprint: sum of 60-bit
-            # hex prefixes (input_hint per-row invariant, recomputable)
-            F.sum(F.conv(F.substring("sha256", 1, 15), 16, 10).cast("decimal(38,0)")).alias("lineage"),
-        ).collect()[0]
+        # order-independent sha256 lineage fingerprint: sum of 60-bit hex
+        # prefixes (input_hint per-row invariant, recomputable). Local
+        # DuckDB read — no Spark job; Spark fallback below.
+        row = _local_agg(
+            f"SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl, "
+            f"coalesce(sum(doc_len), 0)::BIGINT AS total_len, "
+            f"coalesce(sum(('0x' || substring(sha256, 1, 15))::BIGINT), 0)::HUGEINT AS lineage "
+            f"FROM '{ds_dir}/*.parquet'"
+        )
+        if row is None:
+            r = spark.read.parquet(ds_dir).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("total_len"),
+                F.sum(F.conv(F.substring("sha256", 1, 15), 16, 10).cast("decimal(38,0)")).alias("lineage"),
+            ).collect()[0]
+            row = {"n": r["n"], "avgdl": r["avgdl"], "total_len": r["total_len"], "lineage": r["lineage"]}
         m_stats = {
             "data_dir": ds_dir,
             "n_docs": int(row["n"]),
             "avgdl": float(row["avgdl"] or 0.0),
             "total_len": int(row["total_len"] or 0),
-            "sha256_lineage_sum": str(row["lineage"]),
+            "sha256_lineage_sum": str(int(row["lineage"])),
         }
         cat.commit("stage_stats", m_stats)
     avgdl = m_stats["avgdl"]
@@ -179,16 +239,19 @@ def build_index(
     # ---------------- per-bucket posting build ----------------
     n_shuffle = config.shuffle_partitions or spark.sparkContext.defaultParallelism
     encoder = make_chunk_encoder(avgdl, config.k1, config.b, config.block_size)
-    for k in range(config.n_buckets):
+
+    def _build_bucket(k: int) -> None:
         key = f"bucket={k}"
-        if resume and cat.is_committed(key):
-            continue
         t0 = time.perf_counter()
         final_dir = os.path.join(idx_dir, f"bucket={k}")
         tf_k = spark.read.parquet(tf_dir).where(F.col("bucket") == k)
+        # hash repartition (NOT repartitionByRange): the range sampler
+        # costs an extra full read of the bucket per job; hash placement
+        # loses file-level term locality but term-sorted row groups keep
+        # rowgroup-level pruning, which is what query-time lookups use
         chunks = (
             tf_k.select("term", "doc_id", "tf", "doc_len")
-            .repartitionByRange(n_shuffle, "term")
+            .repartition(n_shuffle, "term")
             .sortWithinPartitions("term", "doc_id")
             .mapInPandas(encoder, CHUNK_SCHEMA)
         )
@@ -196,18 +259,24 @@ def build_index(
         chunks.write.mode("overwrite").parquet(staging)
         cat.promote_dir(staging, final_dir)
         secs = time.perf_counter() - t0
-        # cheap columnar read-back for manifest stats
-        stat = (
-            spark.read.parquet(final_dir)
-            .agg(
-                F.count(F.lit(1)).alias("n_terms"),
-                F.sum("df_chunk").alias("n_postings"),
-                F.min("term").alias("term_lo"),
-                F.max("term").alias("term_hi"),
-                F.sum("enc_micros").alias("enc_micros"),
-            )
-            .collect()[0]
+        # cheap columnar read-back for manifest stats (driver-local)
+        stat = _local_agg(
+            f"SELECT count(*)::BIGINT AS n_terms, coalesce(sum(df_chunk),0)::BIGINT AS n_postings, "
+            f"min(term) AS term_lo, max(term) AS term_hi, "
+            f"coalesce(sum(enc_micros),0)::BIGINT AS enc_micros FROM '{final_dir}/*.parquet'"
         )
+        if stat is None:
+            stat = (
+                spark.read.parquet(final_dir)
+                .agg(
+                    F.count(F.lit(1)).alias("n_terms"),
+                    F.sum("df_chunk").alias("n_postings"),
+                    F.min("term").alias("term_lo"),
+                    F.max("term").alias("term_hi"),
+                    F.sum("enc_micros").alias("enc_micros"),
+                )
+                .collect()[0]
+            )
         n_postings = int(stat["n_postings"] or 0)
         cat.commit(
             key,
@@ -224,6 +293,62 @@ def build_index(
                 "encode_cpu_seconds": round(int(stat["enc_micros"] or 0) / 1e6, 3),
             },
         )
+
+    def _bucket_manifest_stats(final_dir: str, k: int, secs: float) -> dict:
+        stat = _local_agg(
+            f"SELECT count(*)::BIGINT AS n_terms, coalesce(sum(df_chunk),0)::BIGINT AS n_postings, "
+            f"min(term) AS term_lo, max(term) AS term_hi, "
+            f"coalesce(sum(enc_micros),0)::BIGINT AS enc_micros FROM '{final_dir}/*.parquet'"
+        )
+        n_postings = int(stat["n_postings"] or 0)
+        return {
+            "data_dir": final_dir,
+            "bucket": k,
+            "doc_id_range": [k * bucket_span, (k + 1) * bucket_span - 1],
+            "term_range": [stat["term_lo"], stat["term_hi"]],
+            "n_terms": int(stat["n_terms"]),
+            "n_postings": n_postings,
+            "bytes": _dir_bytes(final_dir),
+            "seconds": round(secs, 3),
+            "postings_per_sec": round(n_postings / secs, 1) if secs > 0 else None,
+            "encode_cpu_seconds": round(int(stat["enc_micros"] or 0) / 1e6, 3),
+        }
+
+    if config.posting_mode == "single-pass":
+        if not (resume and cat.is_committed("stage_postings")):
+            t0 = time.perf_counter()
+            genc = make_grouped_chunk_encoder(avgdl, config.k1, config.b, config.block_size)
+            tf_all = spark.read.parquet(tf_dir)
+            chunks = (
+                tf_all.select(
+                    F.concat_ws("\x1f", F.col("term"), F.col("bucket").cast("string")).alias("gkey"),
+                    "doc_id", "tf", "doc_len",
+                )
+                .repartition(n_shuffle, "gkey")
+                .sortWithinPartitions("gkey", "doc_id")
+                .mapInPandas(genc, CHUNK_SCHEMA_BUCKETED)
+            )
+            staging = cat.staging_dir(idx_dir)
+            chunks.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+            cat.promote_dir(staging, idx_dir)
+            secs = time.perf_counter() - t0
+            for k in range(config.n_buckets):
+                final_dir = os.path.join(idx_dir, f"bucket={k}")
+                if os.path.exists(final_dir):
+                    cat.commit(f"bucket={k}", _bucket_manifest_stats(final_dir, k, secs))
+            cat.commit("stage_postings", {"data_dir": idx_dir, "seconds": round(secs, 3),
+                                          "mode": "single-pass"})
+    else:
+        # NOTE: buckets run SERIALLY on purpose. Thread-pooled concurrent
+        # jobs were measured 2.7x SLOWER in local mode (concurrent
+        # mapInPandas jobs can't share the Python worker pool -> worker
+        # spawn storms: 4 threaded buckets 16.5s vs 3.6s serial at 12k
+        # docs). On a real multi-executor cluster with dynamic allocation,
+        # revisiting concurrency per bucket is a scheduler-level decision.
+        for k in range(config.n_buckets):
+            if resume and cat.is_committed(f"bucket={k}"):
+                continue
+            _build_bucket(k)
 
     # ---------------- lexicon ----------------
     m_lex = cat.read_manifest("stage_lexicon") if resume else None
@@ -244,9 +369,15 @@ def build_index(
             "term"
         ).write.mode("overwrite").parquet(staging)
         cat.promote_dir(staging, lex_dir)
-        row = spark.read.parquet(lex_dir).agg(
-            F.count(F.lit(1)).alias("vocab"), F.sum("df").alias("postings")
-        ).collect()[0]
+        row = _local_agg(
+            f"SELECT count(*)::BIGINT AS vocab, coalesce(sum(df),0)::BIGINT AS postings "
+            f"FROM '{lex_dir}/*.parquet'"
+        )
+        if row is None:
+            r = spark.read.parquet(lex_dir).agg(
+                F.count(F.lit(1)).alias("vocab"), F.sum("df").alias("postings")
+            ).collect()[0]
+            row = {"vocab": r["vocab"], "postings": r["postings"]}
         m_lex = {
             "data_dir": lex_dir,
             "vocabulary": int(row["vocab"]),

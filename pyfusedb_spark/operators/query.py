@@ -63,6 +63,12 @@ class FuseIndex:
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
         self._norms_pd: pd.Series | None = None
+        self._lexicon_pd: dict[str, int] | None = None
+        # keep the term dictionary hot on the driver when it's small
+        # (the reference's v1 in-memory main_dictionary analog,
+        # app/InvertedIndex.py:338-340); huge-vocab indexes fall back to
+        # pushdown lookups per query
+        self._lexicon_cache_max = 2_000_000
 
     # -- lazy DataFrames ----------------------------------------------------
     @property
@@ -85,6 +91,13 @@ class FuseIndex:
         return self.analyzer.preprocess_query(query)
 
     def _fetch_dfs(self, terms: list[str]) -> dict[str, int]:
+        if self.stats.get("vocabulary", 0) <= self._lexicon_cache_max:
+            if self._lexicon_pd is None:
+                self._lexicon_pd = {
+                    r["term"]: int(r["df"])
+                    for r in self.lexicon_df.select("term", "df").collect()
+                }
+            return {t: self._lexicon_pd[t] for t in terms if t in self._lexicon_pd}
         rows = (
             self.lexicon_df.where(F.col("term").isin(terms)).select("term", "df").collect()
         )
@@ -134,6 +147,11 @@ class FuseIndex:
         if conjunctive and len(terms) < len(q_tfs):
             return []  # some query term matches nothing
         chunks = self._fetch_chunks(terms)
+        if self.stats.get("wand_safe") is False:
+            # incremental appends drifted avgdl past tolerance: stored
+            # block-max bounds may be stale -> pruning disabled, scoring
+            # stays exact (streaming/incremental.py)
+            use_wand = False
         if mode == "bm25" and use_wand and not conjunctive:
             cursors = []
             for term in terms:

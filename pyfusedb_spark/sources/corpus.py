@@ -90,18 +90,38 @@ def _gen_rows(lo: int, hi: int) -> pd.DataFrame:
     )
 
 
-def synthetic_code_corpus(spark: SparkSession, n_rows: int = 2000, n_partitions: int = 32) -> DataFrame:
-    """Distributed deterministic corpus: content(i) is a pure function of i."""
+def synthetic_code_corpus(
+    spark: SparkSession, n_rows: int = 2000, n_partitions: int = 32,
+    with_doc_id: bool = False,
+) -> DataFrame:
+    """Distributed deterministic corpus: content(i) is a pure function of i.
+
+    ``with_doc_id=True`` emits the row index as ``doc_id`` — the
+    ingest-time id assignment a production pipeline would persist in the
+    Iceberg table (row order == (repo,path,commit) order is NOT implied;
+    ids are simply stable)."""
+
+    from pyfusedb_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    schema = CORPUS_SCHEMA
+    if with_doc_id:
+        schema = T.StructType(
+            list(CORPUS_SCHEMA.fields) + [T.StructField("doc_id", T.LongType(), False)]
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
             if len(ids):
                 # spark.range partitions are contiguous ascending slices
-                yield _gen_rows(int(ids[0]), int(ids[-1]) + 1)
+                out = _gen_rows(int(ids[0]), int(ids[-1]) + 1)
+                if with_doc_id:
+                    out["doc_id"] = np.arange(int(ids[0]), int(ids[-1]) + 1, dtype=np.int64)
+                yield out
 
     rng = spark.range(0, n_rows, 1, n_partitions)
-    return rng.mapInPandas(gen, schema=CORPUS_SCHEMA)
+    return rng.mapInPandas(gen, schema=schema)
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,198 @@
+"""Incremental index maintenance via Structured Streaming foreachBatch.
+
+The reference has no streaming (SURVEY.md §2.11); this is the natural
+Spark extension: new documents arrive as a stream, and each micro-batch
+appends posting-chunk segments for a fresh doc-id range ("batch
+buckets"), then refreshes the lexicon and global stats. Because batch
+buckets are doc-disjoint and doc-ordered, query-side chunk concatenation
+stays correct with NO re-merge of existing segments — the same property
+the doc-range salt gives the batch build.
+
+BM25 caveat handled explicitly: block-max metadata is encoded against
+the avgdl known at encode time. As documents arrive, global avgdl
+drifts, so stored upper bounds may become stale; stats.json records
+``wand_safe: false`` when the drift exceeds a tolerance and FuseIndex
+then routes BM25 queries through the exhaustive scorer (scores always
+use the CURRENT global stats and stay oracle-exact — only the pruning
+shortcut is disabled).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyfusedb_spark.functions.udfs import CHUNK_SCHEMA, make_chunk_encoder, sha256_col, term_freqs_udf
+from pyfusedb_spark.operators.build import IndexConfig
+from pyfusedb_spark.sources.catalog import ManifestCatalog
+
+WAND_AVGDL_TOLERANCE = 0.01  # 1% drift disables block-max pruning
+
+
+class IncrementalIndexWriter:
+    """foreachBatch sink: append one doc-range bucket per micro-batch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        content_col: str = "content",
+        doc_id_col: str = "doc_id",
+        config: IndexConfig = IndexConfig(),
+    ):
+        from pyfusedb_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.out_dir = out_dir
+        self.content_col = content_col
+        self.doc_id_col = doc_id_col
+        self.config = config
+        self.cat = ManifestCatalog(out_dir)
+        os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "doc_stats"), exist_ok=True)
+
+    # -- streaming entry ----------------------------------------------------
+    def attach(self, stream_df: DataFrame, checkpoint: str, **trigger_kwargs):
+        """Wire this writer to a streaming DataFrame. Caller awaits the query."""
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start()
+        )
+
+    # -- batch body (also callable directly for tests) ----------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        key = f"stream_batch={batch_id}"
+        if self.cat.is_committed(key):
+            return  # replayed batch after checkpoint recovery — idempotent
+        t0 = time.perf_counter()
+        cfg = self.config
+        tfs_udf = term_freqs_udf(cfg.preset)
+        tok = batch_df.select(
+            F.col(self.doc_id_col).cast("long").alias("doc_id"),
+            sha256_col(self.content_col).alias("sha256"),
+            tfs_udf(F.col(self.content_col)).alias("tfs"),
+        ).withColumn(
+            "doc_len",
+            F.aggregate(F.map_values("tfs"), F.lit(0), lambda a, x: a + x).cast("long"),
+        ).persist()
+
+        ds_dir = os.path.join(self.out_dir, "doc_stats", f"batch={batch_id}")
+        tok.select("doc_id", "doc_len", "sha256").write.mode("overwrite").parquet(ds_dir)
+
+        # encode this batch's postings against CURRENT global avgdl
+        stats = self._current_stats()
+        encoder = make_chunk_encoder(stats["avgdl"], cfg.k1, cfg.b, cfg.block_size)
+        tf = tok.select("doc_id", "doc_len", F.explode("tfs").alias("term", "tf"))
+        chunks = (
+            tf.repartitionByRange(
+                cfg.shuffle_partitions or self.spark.sparkContext.defaultParallelism, "term"
+            )
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(encoder, CHUNK_SCHEMA)
+        )
+        final_dir = os.path.join(self.out_dir, "index", f"bucket={1_000_000 + batch_id}")
+        staging = self.cat.staging_dir(final_dir)
+        chunks.write.mode("overwrite").parquet(staging)
+        self.cat.promote_dir(staging, final_dir)
+        tok.unpersist()
+        self.cat.commit(
+            key,
+            {
+                "data_dir": final_dir,
+                "batch_id": batch_id,
+                "encode_avgdl": stats["avgdl"],
+                "seconds": round(time.perf_counter() - t0, 3),
+            },
+        )
+        self._refresh_global(batch_id)
+
+    # -- global refresh -------------------------------------------------------
+    def _current_stats(self) -> dict:
+        path = os.path.join(self.out_dir, "stats.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {"n_docs": 0, "avgdl": 1.0}
+
+    def _refresh_global(self, batch_id: int) -> None:
+        spark = self.spark
+        ds = spark.read.parquet(os.path.join(self.out_dir, "doc_stats"))
+        row = ds.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        lex_dir = os.path.join(self.out_dir, "lexicon")
+        lex = (
+            spark.read.parquet(os.path.join(self.out_dir, "index"))
+            .groupBy("term")
+            .agg(
+                F.sum("df_chunk").alias("df"),
+                F.sum("sum_tf").alias("total_tf"),
+                F.max("max_partial").alias("max_partial"),
+                F.count(F.lit(1)).alias("n_chunks"),
+            )
+        )
+        staging = self.cat.staging_dir(lex_dir)
+        lex.write.mode("overwrite").parquet(staging)
+        self.cat.promote_dir(staging, lex_dir)
+        vocab = spark.read.parquet(lex_dir).count()
+
+        n_docs = int(row["n"])
+        avgdl = float(row["avgdl"] or 0.0)
+        # WAND safety: every committed batch encoded block-max against its
+        # own avgdl; pruning is only exact while they all match the
+        # current global value
+        drift = 0.0
+        for k, m in self.cat.snapshot().get("manifests", {}).items():
+            if k.startswith("stream_batch=") and m.get("encode_avgdl"):
+                enc = float(m["encode_avgdl"])
+                if enc > 0 and avgdl > 0:
+                    drift = max(drift, abs(enc - avgdl) / avgdl)
+        from dataclasses import asdict
+
+        stats = {
+            "format_version": 1,
+            "config": asdict(self.config),
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "bucket_span": None,
+            "vocabulary": vocab,
+            "n_postings": None,
+            "wand_safe": bool(drift <= WAND_AVGDL_TOLERANCE),
+            "avgdl_drift": drift,
+            "last_batch_id": batch_id,
+        }
+        with open(os.path.join(self.out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=1, sort_keys=True)
+
+
+def index_stream_availablenow(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str,
+    checkpoint: str,
+    content_col: str = "content",
+    doc_id_col: str = "doc_id",
+    config: IndexConfig = IndexConfig(),
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Index a directory of parquet files as a stream (availableNow):
+    one micro-batch per file -> one appended segment bucket each."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = IncrementalIndexWriter(spark, out_dir, content_col, doc_id_col, config)
+    q = stream.writeStream.foreachBatch(writer.process_batch).option(
+        "checkpointLocation", checkpoint
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()

@@ -1,0 +1,83 @@
+"""Incremental (Structured Streaming foreachBatch) index maintenance:
+streamed batches must yield the same search results as a batch build,
+and checkpoint-replayed batches must be idempotent."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyfusedb_spark.analysis import Analyzer
+from pyfusedb_spark.operators.build import IndexConfig
+from pyfusedb_spark.operators.query import FuseIndex
+from pyfusedb_spark.oracle import OracleIndex
+from pyfusedb_spark.streaming.incremental import IncrementalIndexWriter, index_stream_availablenow
+
+from tests.test_oracle import PANGRAMS
+
+CFG = IndexConfig(preset="english", n_buckets=1, shuffle_partitions=4)
+QUERIES = ["quick fox", "jumping wizards", "flower bloom dog", "quick"]
+
+
+def _write_batches(spark, tmp_path):
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir, exist_ok=True)
+    half = len(PANGRAMS) // 2
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS[:half])], "doc_id long, content string"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir + "/f1")
+    spark.createDataFrame(
+        [(i + half, c) for i, c in enumerate(PANGRAMS[half:])], "doc_id long, content string"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir + "/f2")
+    return in_dir
+
+
+def test_incremental_equals_oracle(spark, tmp_path):
+    out = str(tmp_path / "inc_idx")
+    writer = IncrementalIndexWriter(spark, out, config=CFG)
+    half = len(PANGRAMS) // 2
+    b0 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS[:half])], "doc_id long, content string"
+    )
+    b1 = spark.createDataFrame(
+        [(i + half, c) for i, c in enumerate(PANGRAMS[half:])], "doc_id long, content string"
+    )
+    writer.process_batch(b0, 0)
+    writer.process_batch(b1, 1)
+
+    idx = FuseIndex(spark, out)
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    assert idx.n_docs == oracle.n_docs
+    assert idx.avgdl == pytest.approx(oracle.avgdl, abs=1e-9)
+    for q in QUERIES:
+        got = idx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+    # replaying a committed batch is a no-op (checkpoint recovery)
+    before = idx.search("quick", 10)
+    writer.process_batch(b0, 0)
+    assert FuseIndex(spark, out).search("quick", 10) == before
+
+    # avgdl drifted between batches -> engine must declare WAND unsafe
+    # (batch sizes differ in avgdl) or safe; either way scoring is exact.
+    assert "wand_safe" in idx.stats
+
+
+def test_incremental_via_real_stream(spark, tmp_path):
+    in_dir = _write_batches(spark, tmp_path)
+    out = str(tmp_path / "stream_idx")
+    index_stream_availablenow(
+        spark, in_dir + "/f*", out, "doc_id long, content string",
+        checkpoint=str(tmp_path / "ckpt"), config=CFG, max_files_per_trigger=1,
+    )
+    idx = FuseIndex(spark, out)
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    assert idx.n_docs == oracle.n_docs
+    for q in QUERIES:
+        got = idx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
