@@ -126,6 +126,12 @@ def main() -> None:
         .appName("pyfusedb-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # toy-scale corpora are a handful of small parquet files; default
+        # 128m bin-packing would collapse the scan to ~1-3 splits and
+        # serialize the tokenize stage (at 100 TB splits >> executors and
+        # these confs are irrelevant)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")

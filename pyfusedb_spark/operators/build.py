@@ -50,10 +50,11 @@ from pyspark.sql import functions as F
 from pyfusedb_spark.functions.udfs import (
     CHUNK_SCHEMA,
     CHUNK_SCHEMA_BUCKETED,
+    TF_ROW_SCHEMA,
     make_chunk_encoder,
     make_grouped_chunk_encoder,
+    make_tf_exploder,
     sha256_col,
-    term_freqs_udf,
 )
 from pyfusedb_spark.operators.ids import assign_doc_ids
 from pyfusedb_spark.sources.catalog import ManifestCatalog
@@ -90,6 +91,42 @@ def _local_agg(sql: str) -> dict:
         return None
     pdf = duckdb.sql(sql).df()
     return {c: pdf[c].iloc[0] for c in pdf.columns}
+
+
+def _assemble_doc_stats(spark: SparkSession, ds_sha_dir: str, tf_dir: str, ds_dir: str) -> None:
+    """doc_stats(doc_id, doc_len, sha256) = sha ⟕ max(doc_len) per doc.
+
+    Driver-local DuckDB at toy scale (saves two Spark jobs of scheduling
+    latency); Spark left-join fallback — the path a real cluster takes."""
+    try:
+        import duckdb  # noqa: PLC0415
+
+        os.makedirs(ds_dir, exist_ok=True)
+        for old in os.listdir(ds_dir):
+            if old.endswith(".parquet"):
+                os.remove(os.path.join(ds_dir, old))
+        duckdb.sql(
+            f"COPY (SELECT s.doc_id, coalesce(l.doc_len, 0)::BIGINT AS doc_len, s.sha256 "
+            f"FROM '{ds_sha_dir}/*.parquet' s LEFT JOIN ("
+            f"  SELECT doc_id, max(doc_len) AS doc_len FROM parquet_scan('{tf_dir}/*/*.parquet') GROUP BY doc_id"
+            f") l USING (doc_id)) TO '{ds_dir}/part-00000.parquet' (FORMAT PARQUET)"
+        )
+        return
+    except Exception:
+        pass
+    sha = spark.read.parquet(ds_sha_dir)
+    lens = (
+        spark.read.parquet(tf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("doc_len").alias("doc_len"))
+    )
+    (
+        sha.join(lens, "doc_id", "left")
+        .na.fill({"doc_len": 0})
+        .select("doc_id", "doc_len", "sha256")
+        .write.mode("overwrite")
+        .parquet(ds_dir)
+    )
 
 
 def _dir_bytes(path: str) -> int:
@@ -129,69 +166,79 @@ def build_index(
     stats_path = os.path.join(out_dir, "stats.json")
 
     # ---------------- stage tf ----------------
+    # Three narrow jobs, zero shuffles, no caching of wide intermediates
+    # (a persisted map<term,tf> column measured 2-3x slower end-to-end
+    # and its fixed JVM-side costs wrecked N->4N scaling):
+    #   A. (doc_id, sha256) — pure JVM codegen, written once;
+    #   B. exploded (doc_id, doc_len, bucket, term, tf) rows straight
+    #      out of ONE mapInPandas Arrow pass, written partitioned by
+    #      bucket (tokenize happens exactly once, here);
+    #   C. doc_stats = sha ⟕ per-doc doc_len — tiny driver-local DuckDB
+    #      agg over the two parquet dirs (Spark fallback for real
+    #      clusters / non-local filesystems).
     m_tf = cat.read_manifest("stage_tf") if resume else None
+    ds_sha_dir = os.path.join(out_dir, "doc_sha")
     if m_tf is None:
         t0 = time.perf_counter()
-        id_col = "doc_id"
-        persisted_docs = None
+        _dbg = os.environ.get("PYFUSEDB_TIMING") == "1"
+        sha_src = None
         if doc_id_col is None:
             # assign_doc_ids persists its sorted intermediate; ids are
-            # dense 0..N-1 so count/max come free — no extra action, no
-            # second persist of the same data
+            # dense 0..N-1 so count/max come free — no extra action
             docs = assign_doc_ids(corpus, sort_cols or corpus.columns)
             n_docs = docs._pyfusedb_n_rows
             max_id = n_docs - 1
         else:
             docs = corpus.withColumnRenamed(doc_id_col, "doc_id") if doc_id_col != "doc_id" else corpus
-            # one materialization feeds the count/max agg AND the tokenize
-            # pass (at 100 TB you'd write this to disk instead)
-            docs = persisted_docs = docs.persist()
-            agg = docs.agg(
-                F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("max_id")
-            ).collect()[0]
-            n_docs = int(agg["n"])
-            max_id = int(agg["max_id"] if agg["max_id"] is not None else 0)
+            sha_src = docs  # sha job reads the un-repartitioned scan
+            # Small-file guard: a corpus materialized as a few small
+            # parquet files bin-packs into fewer scan splits than cores
+            # (spark.sql.files.maxPartitionBytes), which would serialize
+            # the tokenize stage. At 100 TB the scan has orders of
+            # magnitude more splits than executors and this no-ops; at
+            # toy scale the round-robin shuffle is cheap and buys full
+            # parallelism for the dominant stage.
+            par = spark.sparkContext.defaultParallelism
+            if docs.rdd.getNumPartitions() < par:
+                docs = docs.repartition(par)
+        # -- job A: sha256 lineage (JVM-only) --
+        (sha_src if sha_src is not None else docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            sha256_col(content_col).alias("sha256"),
+        ).write.mode("overwrite").parquet(ds_sha_dir)
+        if doc_id_col is not None:
+            row = _local_agg(
+                f"SELECT count(*)::BIGINT AS n, coalesce(max(doc_id), 0)::BIGINT AS m "
+                f"FROM '{ds_sha_dir}/*.parquet'"
+            )
+            if row is None:
+                r = spark.read.parquet(ds_sha_dir).agg(
+                    F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("m")
+                ).collect()[0]
+                row = {"n": r["n"], "m": r["m"] or 0}
+            n_docs, max_id = int(row["n"]), int(row["m"])
         bucket_span = max(1, math.ceil((max_id + 1) / config.n_buckets))
-        _dbg = os.environ.get("PYFUSEDB_TIMING") == "1"
         if _dbg:
             import sys
 
-            print(f"[tf] ids done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-        tfs_udf = term_freqs_udf(config.preset)
-        tok = docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            sha256_col(content_col).alias("sha256"),
-            tfs_udf(F.col(content_col)).alias("tfs"),
-        ).withColumn(
-            "doc_len",
-            F.aggregate(F.map_values("tfs"), F.lit(0), lambda acc, x: acc + x).cast("long"),
-        )
-        # one tokenize pass feeds both outputs (at 100 TB: write tok once,
-        # derive both from the materialization instead of caching)
-        tok = tok.persist()
-        tok.select("doc_id", "doc_len", "sha256").write.mode("overwrite").parquet(ds_dir)
-        if _dbg:
-            print(f"[tf] doc_stats written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            print(f"[tf] sha/ids done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        # -- job B: tokenize + explode in one Arrow pass --
         (
-            tok.select(
-                "doc_id",
-                "doc_len",
-                (F.col("doc_id") / F.lit(bucket_span)).cast("int").alias("bucket"),
-                F.explode("tfs").alias("term", "tf"),
-            )
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"), content_col)
+            .mapInPandas(make_tf_exploder(config.preset, bucket_span, content_col), TF_ROW_SCHEMA)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(tf_dir)
         )
         if _dbg:
             print(f"[tf] tf rows written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        tok.unpersist()
-        if persisted_docs is not None:
-            persisted_docs.unpersist()
         cache = getattr(docs, "_pyfusedb_cache", None)
         if cache is not None:
             cache.unpersist()
+        # -- job C: assemble doc_stats (empty docs get doc_len=0) --
+        _assemble_doc_stats(spark, ds_sha_dir, tf_dir, ds_dir)
+        if _dbg:
+            print(f"[tf] doc_stats written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         secs = time.perf_counter() - t0
         m_tf = {
             "data_dir": tf_dir,

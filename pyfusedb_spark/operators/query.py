@@ -64,6 +64,7 @@ class FuseIndex:
         self.avgdl = self.stats["avgdl"]
         self._norms_pd: pd.Series | None = None
         self._lexicon_pd: dict[str, int] | None = None
+        self._pa_index = None  # lazy pyarrow dataset over the index dir
         # keep the term dictionary hot on the driver when it's small
         # (the reference's v1 in-memory main_dictionary analog,
         # app/InvertedIndex.py:338-340); huge-vocab indexes fall back to
@@ -93,32 +94,54 @@ class FuseIndex:
     def _fetch_dfs(self, terms: list[str]) -> dict[str, int]:
         if self.stats.get("vocabulary", 0) <= self._lexicon_cache_max:
             if self._lexicon_pd is None:
-                self._lexicon_pd = {
-                    r["term"]: int(r["df"])
-                    for r in self.lexicon_df.select("term", "df").collect()
-                }
+                import pyarrow.dataset as pads
+
+                tbl = pads.dataset(
+                    os.path.join(self.out_dir, "lexicon"), format="parquet"
+                ).to_table(columns=["term", "df"])
+                self._lexicon_pd = dict(
+                    zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+                )
             return {t: self._lexicon_pd[t] for t in terms if t in self._lexicon_pd}
         rows = (
             self.lexicon_df.where(F.col("term").isin(terms)).select("term", "df").collect()
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    _CHUNK_COLS = (
+        "term", "bucket", "df_chunk", "payload", "block_offsets",
+        "block_first", "block_last", "block_max_partial", "max_partial",
+    )
+
     def _fetch_chunks(self, terms: list[str]) -> pd.DataFrame:
-        pdf = (
-            self.index_df.where(F.col("term").isin(terms))
-            .select(
-                "term",
-                "bucket",
-                "df_chunk",
-                "payload",
-                "block_offsets",
-                "block_first",
-                "block_last",
-                "block_max_partial",
-                "max_partial",
+        """Fetch the ≤|q| posting chunk rows for the driver scorer.
+
+        Reads the term-sorted index parquet directly through
+        pyarrow.dataset: parquet row-group statistics on ``term`` give
+        the same pruning a Spark scan would, without paying per-query
+        job-scheduling latency (this path IS the driver; the executor
+        path is ``search_distributed``). Falls back to a Spark scan if
+        the dataset read fails (e.g. non-local filesystem without a
+        pyarrow handler)."""
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            if self._pa_index is None:
+                self._pa_index = pads.dataset(
+                    os.path.join(self.out_dir, "index"),
+                    format="parquet",
+                    partitioning="hive",
+                )
+            pdf = self._pa_index.to_table(
+                filter=pc.field("term").isin(terms), columns=list(self._CHUNK_COLS)
+            ).to_pandas()
+        except Exception:
+            pdf = (
+                self.index_df.where(F.col("term").isin(terms))
+                .select(*self._CHUNK_COLS)
+                .toPandas()
             )
-            .toPandas()
-        )
         return pdf.sort_values(["term", "bucket"], kind="mergesort").reset_index(drop=True)
 
     def _norms(self) -> pd.Series:
