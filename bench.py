@@ -40,6 +40,20 @@ SYNTH_QUERY_SET = [
 ]
 
 
+def _extend_query_set() -> None:
+    # mid-/rare-frequency terms from the long-tail vocabulary: selective
+    # lookups (df ~ N/500) and hot+selective mixes exercise WAND skipping
+    from pyfusedb_spark.sources.corpus import mid_vocab_sample
+
+    SYNTH_QUERY_SET.extend(
+        [
+            mid_vocab_sample(7),                          # mid-frequency term
+            f"return {mid_vocab_sample(13)}",             # hot + selective (WAND skip)
+            f"{mid_vocab_sample(3)} {mid_vocab_sample(250)} wizard",
+        ]
+    )
+
+
 def _med(fn, n=5):
     xs = []
     for _ in range(n):
@@ -52,6 +66,8 @@ def _med(fn, n=5):
 def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict) -> None:
     from pyspark.sql import functions as F
 
+    _extend_query_set()
+
     from pyfusedb_spark.operators.build import IndexConfig, build_index
     from pyfusedb_spark.operators.query import FuseIndex
     from pyfusedb_spark.sources.corpus import synthetic_code_corpus
@@ -59,7 +75,7 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     # materialize the corpus ONCE (untimed): the north-rule input is an
     # Iceberg table at rest — a real build reads columnar storage, it
     # does not synthesize rows through Python inside the timed job
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_corpus_{synth_rows}")
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_corpus_v2_{synth_rows}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         synthetic_code_corpus(
             spark, synth_rows, n_partitions=32, with_doc_id=True

@@ -50,6 +50,22 @@ _ENGLISH = (
 
 _SEED0 = 42
 
+# Long-tail vocabulary. A real source-code corpus has a Zipf tail of
+# project-specific symbols, not just a head of keywords: ~500 shared
+# "library" names (mid-frequency, df ~ n_rows/500) plus per-doc unique
+# 8-char symbols (df ~ 1). Alphabetic only — the code analyzer splits
+# digit runs out of identifiers ([0-9]+ alternative in _CAMEL_RE), so
+# digit-suffixed names would all collapse onto their stems.
+_MID_POOL: list[str] = [
+    "".join(chr(97 + c) for c in row)
+    for row in np.random.default_rng(7).integers(0, 26, size=(500, 5))
+]
+
+
+def mid_vocab_sample(k: int = 0) -> str:
+    """Deterministic mid-frequency term (bench queries target real df)."""
+    return _MID_POOL[k % len(_MID_POOL)]
+
 
 def _row_content(i: int) -> str:
     if i % 997 == 0:
@@ -71,7 +87,11 @@ def _row_content(i: int) -> str:
     ]
     eng_idx = rng.integers(0, len(_ENGLISH), n_tokens - len(kws) - n_id)
     eng = [_ENGLISH[e] for e in eng_idx]
-    toks = kws + idents + eng
+    mids = [_MID_POOL[m] for m in rng.integers(0, len(_MID_POOL), max(2, n_tokens // 40))]
+    rares = [
+        "".join(chr(97 + c) for c in row) for row in rng.integers(0, 26, size=(3, 8))
+    ]
+    toks = kws + idents + eng + mids + rares
     order = rng.permutation(len(toks))
     return " ".join(toks[j] for j in order)
 

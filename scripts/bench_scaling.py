@@ -70,12 +70,12 @@ def calibrate_hardware() -> dict[int, float]:
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
-    n_low = int(os.environ.get("SCALING_N", "4"))
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
+    n_low = int(os.environ.get("SCALING_N", "8"))
     hw = calibrate_hardware()
     print(f"hardware raw-CPU throughput: {hw}", file=sys.stderr)
     n_hi = n_low * 4
-    reps = int(os.environ.get("SCALING_REPS", "2"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
     results = {}
     # interleave levels (A,B,A,B) and keep each level's BEST run: the
     # sandbox host is shared/virtualized and identical runs vary ~2x —
@@ -135,11 +135,12 @@ def main() -> None:
         "|---|---|",
         *[f"| {k} | {v} |" for k, v in sorted(hw.items())],
         "",
-        f"Raw-CPU N->4N efficiency at this pair: {hw_eff:.2f} — the engine's",
-        "efficiency should be read against that machine ceiling. The 8->32",
-        "pair caps at ~0.8 on raw CPU alone, so the 4->16 pair (ceiling",
-        f"~{hw.get(16,0)/(4*hw.get(4,1)):.2f}) is used for the criterion, per the driver's",
-        '"e.g. local[8] and local[32], or N and 4N cores" allowance.',
+        f"Raw-CPU N->4N efficiency at the chosen pair: {hw_eff:.2f} — the",
+        "engine's efficiency should be read against that machine ceiling",
+        "(and against the co-tenant noise: identical runs vary ~2x, which",
+        "is why each level reports best-of-N interleaved runs).",
+        f"Measured pair ceilings this run: 4->16 = {hw.get(16,0)/(4*hw.get(4,1)):.2f}, "
+        f"8->32 = {hw.get(32,0)/(4*hw.get(8,1)):.2f}.",
         "",
         "## Config",
         "",
