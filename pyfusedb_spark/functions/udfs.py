@@ -120,6 +120,7 @@ def tokens_udf(preset: str):
 
 CHUNK_SCHEMA = T.StructType(
     [
+        T.StructField("pid", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("df_chunk", T.LongType(), False),
         T.StructField("sum_tf", T.LongType(), False),
@@ -134,6 +135,73 @@ CHUNK_SCHEMA = T.StructType(
 )
 
 
+def _encode_partition_flat(
+    term: np.ndarray,
+    bucket: np.ndarray | None,
+    d: np.ndarray,
+    t: np.ndarray,
+    l: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> pd.DataFrame:
+    """Encode one partition's (term[,bucket],doc)-sorted rows into chunk
+    rows via codec.encode_postings_multi — ONE vectorized pass for ALL
+    groups (per-group numpy-call overhead dominated the stage before).
+
+    Duplicate doc rows within a group are folded by summing tf (v2 merge
+    semantics, app/InvertedIndexFinal.py:240-244) — vectorized flat.
+    ``enc_micros`` is the partition's encode time spread over its groups
+    (manifests only ever sum it)."""
+    t0 = time.perf_counter()
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    n = len(d)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    if bucket is not None:
+        new[1:] = (term[1:] != term[:-1]) | (bucket[1:] != bucket[:-1])
+    else:
+        new[1:] = term[1:] != term[:-1]
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = d[1:] == d[:-1]
+    keep = new | ~dup
+    if not keep.all():
+        seg = np.cumsum(keep) - 1
+        t = np.bincount(seg, weights=t).astype(np.int64)
+        d, l, term, new = d[keep], l[keep], term[keep], new[keep]
+        if bucket is not None:
+            bucket = bucket[keep]
+        n = len(d)
+    starts = np.flatnonzero(new)
+    enc = codec.encode_postings_multi(starts, d, t, l, avgdl, k1, b, block_size)
+    g = enc["n_groups"]
+    micros = int((time.perf_counter() - t0) * 1e6)
+    per = np.full(g, micros // g if g else 0, dtype=np.int64)
+    if g:
+        per[0] += micros - int(per.sum())
+    data = {
+        "pid": np.full(g, pid, dtype=np.int32),
+        "term": term[starts],
+        "df_chunk": enc["df_chunk"],
+        "sum_tf": enc["sum_tf"],
+        "payload": enc["payloads"],
+        "block_offsets": enc["block_offsets"],
+        "block_first": enc["block_first"],
+        "block_last": enc["block_last"],
+        "block_max_partial": enc["block_max_partial"],
+        "max_partial": enc["max_partial"],
+        "enc_micros": per,
+    }
+    if bucket is not None:
+        data["bucket"] = bucket[starts].astype(np.int32)
+        return pd.DataFrame(data)[[f.name for f in CHUNK_SCHEMA_BUCKETED.fields]]
+    return pd.DataFrame(data)[[f.name for f in CHUNK_SCHEMA.fields]]
+
+
 def make_chunk_encoder(avgdl: float, k1: float, b: float, block_size: int):
     """Returns a mapInPandas function encoding (term, doc_id, tf, doc_len)
     rows — REQUIRED sorted by (term, doc_id) within the partition — into
@@ -144,48 +212,13 @@ def make_chunk_encoder(avgdl: float, k1: float, b: float, block_size: int):
     """
 
     def encode_terms(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.int64)
-        uniq, starts = np.unique(terms, return_index=True)
-        order = np.argsort(starts)  # np.unique sorts terms; recover stream order
-        starts = starts[order]
-        uniq = uniq[order]
-        bounds = np.append(starts, len(terms))
-        rows = []
-        for ti in range(len(uniq)):
-            lo, hi = bounds[ti], bounds[ti + 1]
-            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            # fold duplicate doc_ids by summing tf (v2 merge semantics,
-            # app/InvertedIndexFinal.py:240-244); doc_len is per-doc constant
-            ud, first_idx = np.unique(d, return_index=True)
-            if len(ud) != len(d):
-                seg = np.searchsorted(d, ud)
-                t = np.add.reduceat(t, seg)
-                l = l[first_idx]
-                d = ud
-            chunk = codec.encode_postings(d, t, l, avgdl, k1, b, block_size)
-            micros = int((time.perf_counter() - t0) * 1e6)
-            rows.append(
-                (
-                    uniq[ti],
-                    int(len(d)),
-                    int(t.sum()),
-                    chunk.payload,
-                    chunk.block_offsets.tolist(),
-                    chunk.block_first.tolist(),
-                    chunk.block_last.tolist(),
-                    chunk.block_max_partial.tolist(),
-                    chunk.max_partial,
-                    micros,
-                )
-            )
-            t0 = time.perf_counter()
-        return pd.DataFrame(
-            rows,
-            columns=[f.name for f in CHUNK_SCHEMA.fields],
+        return _encode_partition_flat(
+            pdf["term"].to_numpy(),
+            None,
+            pdf["doc_id"].to_numpy(dtype=np.int64),
+            pdf["tf"].to_numpy(dtype=np.int64),
+            pdf["doc_len"].to_numpy(dtype=np.int64),
+            avgdl, k1, b, block_size,
         )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -214,57 +247,23 @@ CHUNK_SCHEMA_BUCKETED = T.StructType(
     [T.StructField("bucket", T.IntegerType(), False)] + list(CHUNK_SCHEMA.fields)
 )
 
-_GK_SEP = "\x1f"
-
 
 def make_grouped_chunk_encoder(avgdl: float, k1: float, b: float, block_size: int):
-    """Single-pass variant: input rows carry ``gkey = term\\x1fbucket``
-    and are sorted by (gkey, doc_id) within the partition; output adds
+    """Single-pass variant: input rows carry (term, bucket) and are
+    sorted by (term, bucket, doc_id) within the partition; output adds
     the bucket column so one job can write every bucket directory
-    (write.partitionBy('bucket')). Carry-over across record batches works
-    exactly as in make_chunk_encoder."""
+    (write.partitionBy('bucket')). Batch carry-over holds back the last
+    (term, bucket) group."""
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        gkeys = pdf["gkey"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.int64)
-        uniq, starts = np.unique(gkeys, return_index=True)
-        order = np.argsort(starts)
-        starts = starts[order]
-        uniq = uniq[order]
-        bounds = np.append(starts, len(gkeys))
-        rows = []
-        for gi in range(len(uniq)):
-            lo, hi = bounds[gi], bounds[gi + 1]
-            term, bucket = uniq[gi].rsplit(_GK_SEP, 1)
-            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            ud, first_idx = np.unique(d, return_index=True)
-            if len(ud) != len(d):
-                seg = np.searchsorted(d, ud)
-                t = np.add.reduceat(t, seg)
-                l = l[first_idx]
-                d = ud
-            chunk = codec.encode_postings(d, t, l, avgdl, k1, b, block_size)
-            micros = int((time.perf_counter() - t0) * 1e6)
-            rows.append(
-                (
-                    int(bucket),
-                    term,
-                    int(len(d)),
-                    int(t.sum()),
-                    chunk.payload,
-                    chunk.block_offsets.tolist(),
-                    chunk.block_first.tolist(),
-                    chunk.block_last.tolist(),
-                    chunk.block_max_partial.tolist(),
-                    chunk.max_partial,
-                    micros,
-                )
-            )
-            t0 = time.perf_counter()
-        return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA_BUCKETED.fields])
+        return _encode_partition_flat(
+            pdf["term"].to_numpy(),
+            pdf["bucket"].to_numpy(dtype=np.int64),
+            pdf["doc_id"].to_numpy(dtype=np.int64),
+            pdf["tf"].to_numpy(dtype=np.int64),
+            pdf["doc_len"].to_numpy(dtype=np.int64),
+            avgdl, k1, b, block_size,
+        )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         leftover: pd.DataFrame | None = None
@@ -274,9 +273,10 @@ def make_grouped_chunk_encoder(avgdl: float, k1: float, b: float, block_size: in
                 leftover = None
             if not len(batch):
                 continue
-            gkeys = batch["gkey"].to_numpy()
-            last = gkeys[-1]
-            cut = np.searchsorted(gkeys, last, side="left")
+            terms = batch["term"].to_numpy()
+            cut = int(np.searchsorted(terms, terms[-1], side="left"))
+            bks = batch["bucket"].to_numpy()
+            cut += int(np.searchsorted(bks[cut:], bks[-1], side="left"))
             leftover = batch.iloc[cut:]
             complete = batch.iloc[:cut]
             if len(complete):

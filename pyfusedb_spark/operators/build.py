@@ -129,6 +129,27 @@ def _assemble_doc_stats(spark: SparkSession, ds_sha_dir: str, tf_dir: str, ds_di
     )
 
 
+
+def _partition_metrics(final_dir: str) -> list | None:
+    """Per-shuffle-partition posting metrics (north rule: per-partition
+    logging): [pid, n_terms, n_postings, encode_cpu_s, postings_per_cpu_s]."""
+    try:
+        import duckdb  # noqa: PLC0415
+
+        rows = duckdb.sql(
+            f"SELECT pid, count(*)::BIGINT, coalesce(sum(df_chunk),0)::BIGINT, "
+            f"coalesce(sum(enc_micros),0)::BIGINT FROM '{final_dir}/*.parquet' "
+            f"GROUP BY pid ORDER BY pid"
+        ).fetchall()
+        return [
+            [int(p), int(nt), int(np_), round(em / 1e6, 3),
+             round(np_ / (em / 1e6), 1) if em else None]
+            for p, nt, np_, em in rows
+        ]
+    except Exception:
+        return None
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -343,6 +364,7 @@ def build_index(
                 "seconds": round(secs, 3),
                 "postings_per_sec": round(n_postings / secs, 1) if secs > 0 else None,
                 "encode_cpu_seconds": round(int(stat["enc_micros"] or 0) / 1e6, 3),
+                "partitions": _partition_metrics(final_dir),
             },
         )
 
@@ -364,6 +386,7 @@ def build_index(
             "seconds": round(secs, 3),
             "postings_per_sec": round(n_postings / secs, 1) if secs > 0 else None,
             "encode_cpu_seconds": round(int(stat["enc_micros"] or 0) / 1e6, 3),
+            "partitions": _partition_metrics(final_dir),
         }
 
     if config.posting_mode == "single-pass":
@@ -373,11 +396,11 @@ def build_index(
             tf_all = spark.read.parquet(tf_dir)
             chunks = (
                 tf_all.select(
-                    F.concat_ws("\x1f", F.col("term"), F.col("bucket").cast("string")).alias("gkey"),
+                    "term", F.col("bucket").cast("int").alias("bucket"),
                     "doc_id", "tf", "doc_len",
                 )
-                .repartition(n_shuffle, "gkey")
-                .sortWithinPartitions("gkey", "doc_id")
+                .repartition(n_shuffle, "term", "bucket")
+                .sortWithinPartitions("term", "bucket", "doc_id")
                 .mapInPandas(genc, CHUNK_SCHEMA_BUCKETED)
             )
             staging = cat.staging_dir(idx_dir)
@@ -461,9 +484,13 @@ def build_index(
             {"data_dir": final_dir, "seconds": round(time.perf_counter() - t0, 3)},
         )
 
+    tok_secs = m_tf.get("seconds")
     stats = {
         "format_version": 1,
         "config": asdict(config),
+        "tokens_per_sec": (
+            round(m_stats["total_len"] / tok_secs, 1) if tok_secs else None
+        ),
         "n_docs": n_docs,
         "avgdl": avgdl,
         "bucket_span": bucket_span,

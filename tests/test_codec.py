@@ -90,3 +90,39 @@ def test_empty_postings():
     assert chunk.n_postings == 0 and chunk.payload == b""
     d, t, l = codec.decode_postings(chunk.payload, 0)
     assert d.size == 0
+
+
+def test_encode_postings_multi_matches_per_group():
+    """Flat multi-group encode must be byte-identical per group to
+    encode_postings (hypothesis-style randomized, fixed seed)."""
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n_groups = int(rng.integers(1, 40))
+        d_parts, t_parts, l_parts, starts = [], [], [], []
+        pos = 0
+        for _ in range(n_groups):
+            g = int(rng.integers(1, 300))
+            ids = np.sort(rng.choice(10_000, size=g, replace=False)).astype(np.int64)
+            d_parts.append(ids)
+            t_parts.append(rng.integers(1, 50, g).astype(np.int64))
+            l_parts.append(rng.integers(1, 500, g).astype(np.int64))
+            starts.append(pos)
+            pos += g
+        d = np.concatenate(d_parts)
+        t = np.concatenate(t_parts)
+        l = np.concatenate(l_parts)
+        enc = codec.encode_postings_multi(
+            np.array(starts, np.int64), d, t, l, avgdl=42.0, block_size=32
+        )
+        assert enc["n_groups"] == n_groups
+        for gi in range(n_groups):
+            ref = codec.encode_postings(
+                d_parts[gi], t_parts[gi], l_parts[gi], avgdl=42.0, block_size=32
+            )
+            assert enc["payloads"][gi] == ref.payload, f"group {gi} payload"
+            assert enc["df_chunk"][gi] == ref.n_postings
+            assert np.array_equal(enc["block_offsets"][gi], ref.block_offsets)
+            assert np.array_equal(enc["block_first"][gi], ref.block_first)
+            assert np.array_equal(enc["block_last"][gi], ref.block_last)
+            assert np.allclose(enc["block_max_partial"][gi], ref.block_max_partial)
+            assert abs(float(enc["max_partial"][gi]) - ref.max_partial) < 1e-6

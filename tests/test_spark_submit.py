@@ -1,0 +1,78 @@
+"""End-to-end spark-submit --py-files packaging test (north rule).
+
+Proves the pipeline ships as a zip + job scripts with NO repo checkout
+visible to the driver/executors: cwd is a temp dir, PYTHONPATH is
+scrubbed, the engine arrives only via --py-files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    from pyfusedb_spark.sources.corpus import synthetic_code_corpus
+
+    out = str(tmp_path_factory.mktemp("submit") / "corpus")
+    synthetic_code_corpus(spark, 400, 4, with_doc_id=True).write.parquet(out)
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_build_and_query(corpus_dir, tmp_path):
+    zpath = str(tmp_path / "pyfusedb_spark.zip")
+    pkg = os.path.join(REPO, "pyfusedb_spark")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.join("pyfusedb_spark", os.path.relpath(full, pkg)))
+    idx_dir = str(tmp_path / "idx")
+    workdir = str(tmp_path / "cwd")
+    os.makedirs(workdir)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # engine must arrive via --py-files only
+    common = [
+        SPARK_SUBMIT, "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zpath,
+    ]
+    r = subprocess.run(
+        [*common, os.path.join(REPO, "jobs", "build_index.py"),
+         "--input", corpus_dir, "--out", idx_dir,
+         "--doc-id-col", "doc_id", "--preset", "code", "--buckets", "2",
+         "--no-norms", "--posting-mode", "single-pass"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    stats = json.loads(r.stdout[r.stdout.index("{"):])
+    assert stats["n_docs"] == 400 and stats["vocabulary"] > 100
+
+    r2 = subprocess.run(
+        [*common, os.path.join(REPO, "jobs", "query_index.py"),
+         "--index", idx_dir, "--query", "merge sort", "--query", "return", "--k", "5"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    lines = [json.loads(ln) for ln in r2.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 2
+    assert all(len(ln["hits"]) == 5 for ln in lines)
+    # scores strictly ranked, ties by doc_id
+    for ln in lines:
+        hits = ln["hits"]
+        assert all(
+            (a[1] > b[1]) or (a[1] == b[1] and a[0] < b[0])
+            for a, b in zip(hits, hits[1:])
+        )
