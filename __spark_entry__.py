@@ -380,7 +380,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = knn.lsh_ann_topk(_emb(spark, sf), list(qv), 10, n_planes=16, max_hamming=6)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
-    q.update(knn_brute=knn_brute, knn_batch=knn_batch, knn_range=knn_range, ann_lsh=ann_lsh)
+    def ann_ivf_exact(spark, sf):
+        # nprobe = nlist degenerates to exact brute force -> SQL-checkable
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.where(F.col("vec_id") == 1).first()["embedding"]]
+        cents = knn.ivf_train(e, nlist=8, sample_n=512)
+        out = knn.ivf_topk(knn.ivf_assign(e, cents), cents, qv, k=10, nprobe=8)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    def ann_ivf_probe(spark, sf):  # rows-only (pruned ANN; recall checked in pytest)
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.where(F.col("vec_id") == 1).first()["embedding"]]
+        cents = knn.ivf_train(e, nlist=8, sample_n=512)
+        out = knn.ivf_topk(knn.ivf_assign(e, cents), cents, qv, k=10, nprobe=2)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    q.update(knn_brute=knn_brute, knn_batch=knn_batch, knn_range=knn_range,
+             ann_lsh=ann_lsh, ann_ivf_exact=ann_ivf_exact, ann_ivf_probe=ann_ivf_probe)
 
     # ---- text analysis ----
     def text_quality(spark, sf):
@@ -514,6 +530,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(embedding::DOUBLE[],
                      (SELECT embedding FROM embeddings WHERE vec_id = 3)::DOUBLE[]) >= 0.25
         """,
+        "ann_ivf_exact": """
+            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]), 6) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 1)::DOUBLE[]) DESC, vec_id
+            LIMIT 10
+        """,
         "text_quality": _QUALITY_SQL,
         "text_langid": _langid_sql(),
         "text_fingerprint": _FINGERPRINT_SQL,
@@ -551,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         # rows-only (deliberately no oracle): dedup_minhash, dedup_simhash,
-        # ann_lsh — deterministic hash functions not expressible in the
-        # DuckDB build available here; verified in pytest instead.
+        # ann_lsh, ann_ivf_probe — deterministic hash/pruning paths not
+        # expressible in the DuckDB build available here; verified in
+        # pytest instead (exact variants above ARE oracle-checked).
     }

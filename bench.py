@@ -148,6 +148,9 @@ def main() -> None:
         # these confs are irrelevant)
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # bigger Arrow batches = fewer Python-worker round-trips in the
+        # tokenize and encode mapInPandas stages
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")

@@ -21,6 +21,7 @@ via a pushdown-able signature equality — persist signatures bucketed by
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -149,6 +150,93 @@ def lsh_ann_topk(
         cand.select(
             F.col(id_col), _cosine_to_query(vec_col, query_vec).alias("cosine")
         )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means cells + nprobe search
+# --------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 17) -> np.ndarray:
+    """Tiny deterministic Lloyd k-means on the driver (spherical: cosine
+    assignment via L2-normalized vectors). Returns (nlist, dim) centroids."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(float(np.linalg.norm(v)), 1e-12)
+    return cent
+
+
+def ivf_train(
+    emb: DataFrame, nlist: int = 16, sample_n: int = 4096,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 17,
+) -> np.ndarray:
+    """Train coarse centroids from a deterministic sample (lowest ids —
+    id order is stable; at 100 TB swap for a hash-sampled fraction)."""
+    rows = (
+        emb.select(F.col(vec_col)).orderBy(F.col(id_col)).limit(sample_n).collect()
+    )
+    sample = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return _kmeans(sample, nlist, seed=seed)
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, embedding): nearest-centroid assignment via ONE
+    vectorized pandas UDF (batch matmul — no per-row Python). Persist
+    the result partitioned/bucketed by ``cell`` so nprobe queries prune
+    whole files at scale."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent = centroids.copy()
+    bcast = emb.sparkSession.sparkContext.broadcast(cent)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        c = bcast.value
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        if x.ndim == 1:  # empty batch edge
+            return pd.Series(np.zeros(0, np.int32))
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ c.T).argmax(axis=1).astype(np.int32))
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        cell_of(F.col(vec_col)).alias("cell"),
+        F.col(vec_col),
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame, centroids: np.ndarray, query_vec: list[float],
+    k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells, exact cosine rerank inside.
+
+    ``nprobe = nlist`` degenerates to the exact brute-force scan (used
+    by the oracle cross-check); small nprobe reads only matching cells —
+    with cell-partitioned storage that is file-level pruning, the IVF
+    scale path replacing the reference's in-process FAISS HNSW
+    (app/MultiDim.py:152-165)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(centroids @ qn))
+    probes = [int(c) for c in order[:nprobe]]
+    cand = assigned.where(F.col("cell").isin(probes))
+    return (
+        cand.select(F.col(id_col), _cosine_to_query(vec_col, query_vec).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

@@ -164,3 +164,34 @@ def test_multimodal_binary_plumbing(spark):
     assert 320 <= meta[0]["width"] < 1920 and 240 <= meta[0]["height"] < 1140
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(binary)
+
+
+def test_ivf_exact_when_probing_all(spark, emb):
+    """nprobe = nlist degenerates to brute force — exact same top-k."""
+    from pyfusedb_spark.operators import knn
+
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cents = knn.ivf_train(emb, nlist=8, sample_n=256)
+    assigned = knn.ivf_assign(emb, cents)
+    got = knn.ivf_topk(assigned, cents, qv, k=10, nprobe=8).collect()
+    ref = knn.brute_force_topk(emb, qv, 10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in ref]
+    assert all(abs(a["cosine"] - b["cosine"]) < 1e-9 for a, b in zip(got, ref))
+
+
+def test_ivf_probe_contains_query_cell(spark, emb):
+    """Pruned probing still returns k rows and finds the query vector
+    itself (its own cell is always the nearest probe)."""
+    from pyfusedb_spark.operators import knn
+
+    qv = [float(x) for x in emb.where("vec_id = 3").first()["embedding"]]
+    cents = knn.ivf_train(emb, nlist=8, sample_n=256)
+    assigned = knn.ivf_assign(emb, cents)
+    got = knn.ivf_topk(assigned, cents, qv, k=5, nprobe=2).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == 3 and got[0]["cosine"] > 0.999999
+    # determinism across repartitionings
+    got2 = knn.ivf_topk(assigned.repartition(7), cents, qv, k=5, nprobe=2).collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in got] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in got2
+    ]
