@@ -47,7 +47,7 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert not missing, f"oracle without query: {missing}"
     no_oracle = [k for k in ALL if k not in ORACLES]
     # only the declared rows-only ops may omit an oracle
-    assert set(no_oracle) <= {"dedup_minhash", "dedup_simhash", "ann_lsh"}
+    assert set(no_oracle) <= {"dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf_probe"}
 
 
 @pytest.mark.parametrize("name", ALL)
