@@ -103,10 +103,25 @@ class FuseIndex:
                     zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
                 )
             return {t: self._lexicon_pd[t] for t in terms if t in self._lexicon_pd}
-        rows = (
-            self.lexicon_df.where(F.col("term").isin(terms)).select("term", "df").collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        # huge-vocab path: per-query pruned lookup (lexicon is written
+        # term-sorted with small row groups -> stats pruning), pyarrow
+        # first (no Spark job scheduling), Spark scan as last resort
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(
+                os.path.join(self.out_dir, "lexicon"), format="parquet"
+            ).to_table(filter=pc.field("term").isin(terms), columns=["term", "df"])
+            return dict(
+                zip(tbl.column("term").to_pylist(),
+                    (int(x) for x in tbl.column("df").to_pylist()))
+            )
+        except Exception:
+            rows = (
+                self.lexicon_df.where(F.col("term").isin(terms)).select("term", "df").collect()
+            )
+            return {r["term"]: int(r["df"]) for r in rows}
 
     _CHUNK_COLS = (
         "term", "bucket", "df_chunk", "payload", "block_offsets",

@@ -133,3 +133,15 @@ def test_flowers_relevance(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in expect]
         scores = [s for _, s in got]
         assert scores == sorted(scores, reverse=True) and len(got) > 0
+
+
+def test_huge_vocab_lexicon_fallback(spark, pangram_index):
+    """Force the huge-vocab per-query lexicon path (pyarrow pruned read,
+    no full cache) — identical results to the cached path."""
+    from pyfusedb_spark.operators.query import FuseIndex
+
+    idx2 = FuseIndex(spark, pangram_index.out_dir)
+    idx2._lexicon_cache_max = 0  # pretend vocabulary exceeds cache budget
+    for q in ("quick fox", "wizard", "quick fox jump wizard box flower dog cat"):
+        assert idx2.search(q, 5) == pangram_index.search(q, 5)
+        assert idx2.search(q, 5, mode="tfidf") == pangram_index.search(q, 5, mode="tfidf")
