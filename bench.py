@@ -151,6 +151,12 @@ def main() -> None:
         # bigger Arrow batches = fewer Python-worker round-trips in the
         # tokenize and encode mapInPandas stages
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # task-side output commit (v2): job commit is O(1) renames instead
+        # of a driver-serial walk over every task's files
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # packed tf rows carry array cells (<=1024 postings each); keep the
+        # vectorized reader's row batches modest so batch bytes stay bounded
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")

@@ -102,6 +102,183 @@ def make_tf_exploder(preset: str, bucket_span: int, content_col: str = "content"
     return explode_tf
 
 
+_MAX_RUN = 1024  # max postings per packed run row (bounds reader memory)
+
+PACKED_TF_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("docs", T.ArrayType(T.LongType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("dls", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "content"):
+    """mapInPandas fn: corpus rows -> PACKED per-(term,bucket) partial
+    posting runs, one row per distinct (term, bucket) per Arrow batch.
+
+    This is the SPIMI map-side partial posting list (north star: partial
+    lists built BEFORE the repartition-by-term shuffle): the shuffle then
+    carries ~|batch vocabulary| packed rows instead of one row per
+    posting — long-tail terms cost the same, but every mid/hot term
+    collapses its per-batch postings into three packed int arrays and
+    ONE term string. Term grouping uses pd.factorize (hash, O(n)) + an
+    integer lexsort — no string sort."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        az = _get_analyzer(preset)
+        analyze = az.analyze
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            counters = [Counter(analyze(c or "")) for c in pdf[content_col].tolist()]
+            lens = np.fromiter((sum(c.values()) for c in counters), np.int64, len(counters))
+            reps = np.fromiter((len(c) for c in counters), np.int64, len(counters))
+            ntot = int(reps.sum())
+            if ntot == 0:
+                continue
+            rep_ids = np.repeat(ids, reps)
+            rep_dls = np.repeat(lens, reps).astype(np.int32)
+            rep_bkt = (rep_ids // bucket_span).astype(np.int64)
+            terms = np.empty(ntot, dtype=object)
+            i = 0
+            for c in counters:
+                k = len(c)
+                terms[i : i + k] = list(c.keys())
+                i += k
+            tfs = np.fromiter((v for c in counters for v in c.values()), np.int32, ntot)
+            codes, uniq = pd.factorize(terms, sort=False)
+            uniq = np.asarray(uniq, dtype=object)
+            order = np.lexsort((rep_bkt, codes))  # primary: term code, secondary: bucket
+            c_s = codes[order]
+            b_s = rep_bkt[order]
+            newg = np.empty(ntot, dtype=bool)
+            newg[0] = True
+            newg[1:] = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
+            gs = np.flatnonzero(newg)
+            # cap run length: a hot term would otherwise pack this whole
+            # Arrow batch into ONE giant array cell, blowing up the
+            # vectorized parquet reader's per-batch memory downstream
+            # (seen as JVM OOM at 65536-doc batches). The encoder merges
+            # multiple runs per group, so splitting is free.
+            glens = np.diff(np.append(gs, ntot))
+            big = np.flatnonzero(glens > _MAX_RUN)
+            if big.size:
+                extra = np.concatenate(
+                    [
+                        np.arange(gs[i] + _MAX_RUN, gs[i] + glens[i], _MAX_RUN)
+                        for i in big
+                    ]
+                )
+                starts_all = np.sort(np.concatenate([gs, extra]))
+            else:
+                starts_all = gs
+            cut = starts_all[1:]
+            row_of = np.searchsorted(gs, starts_all, side="right") - 1
+            yield pd.DataFrame(
+                {
+                    "term": uniq[c_s[gs[row_of]]],
+                    "bucket": b_s[gs[row_of]].astype(np.int32),
+                    "docs": np.split(rep_ids[order], cut),
+                    "tfs": np.split(tfs[order], cut),
+                    "dls": np.split(rep_dls[order], cut),
+                }
+            )
+
+    return pack
+
+
+def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
+    """mapInPandas fn merging packed runs into encoded chunks.
+
+    Input: PACKED_TF_SCHEMA rows sorted by (term, bucket) within the
+    partition (runs of one group adjacent, internal order arbitrary).
+    Flat algorithm: concatenate all runs, ONE integer lexsort by
+    (group, doc_id) — the distributed k-way merge the reference does
+    with a heap (app/InvertedIndexFinal.py:287-346) — then the flat
+    multi-group codec. Output: CHUNK_SCHEMA_BUCKETED rows."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        terms = pdf["term"].to_numpy()
+        bks = pdf["bucket"].to_numpy(dtype=np.int64)
+        doc_cells = pdf["docs"].to_numpy()
+        tf_cells = pdf["tfs"].to_numpy()
+        dl_cells = pdf["dls"].to_numpy()
+        n_rows = len(terms)
+        run_lens = np.fromiter((len(x) for x in doc_cells), np.int64, n_rows)
+        flat_d = np.concatenate(doc_cells).astype(np.int64)
+        flat_t = np.concatenate(tf_cells).astype(np.int64)
+        flat_l = np.concatenate(dl_cells).astype(np.int64)
+        newg_row = np.empty(n_rows, dtype=bool)
+        newg_row[0] = True
+        newg_row[1:] = (terms[1:] != terms[:-1]) | (bks[1:] != bks[:-1])
+        grow = np.flatnonzero(newg_row)
+        gid_post = np.repeat(np.cumsum(newg_row) - 1, run_lens)
+        order = np.lexsort((flat_d, gid_post))
+        d2, t2, l2, g2 = flat_d[order], flat_t[order], flat_l[order], gid_post[order]
+        np_ = len(d2)
+        newp = np.empty(np_, dtype=bool)
+        newp[0] = True
+        newp[1:] = g2[1:] != g2[:-1]
+        keep = newp.copy()
+        keep[1:] |= d2[1:] != d2[:-1]
+        if not keep.all():
+            seg = np.cumsum(keep) - 1
+            t2 = np.bincount(seg, weights=t2).astype(np.int64)
+            d2, l2, newp = d2[keep], l2[keep], newp[keep]
+        starts = np.flatnonzero(newp)
+        enc = codec.encode_postings_multi(starts, d2, t2, l2, avgdl, k1, b, block_size)
+        g = enc["n_groups"]
+        micros = int((time.perf_counter() - t0) * 1e6)
+        per = np.full(g, micros // g if g else 0, dtype=np.int64)
+        if g:
+            per[0] += micros - int(per.sum())
+        data = {
+            "bucket": bks[grow].astype(np.int32),
+            "pid": np.full(g, pid, dtype=np.int32),
+            "term": terms[grow],
+            "df_chunk": enc["df_chunk"],
+            "sum_tf": enc["sum_tf"],
+            "payload": enc["payloads"],
+            "block_offsets": enc["block_offsets"],
+            "block_first": enc["block_first"],
+            "block_last": enc["block_last"],
+            "block_max_partial": enc["block_max_partial"],
+            "max_partial": enc["max_partial"],
+            "enc_micros": per,
+        }
+        return pd.DataFrame(data)[[f.name for f in CHUNK_SCHEMA_BUCKETED.fields]]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        leftover: pd.DataFrame | None = None
+        for batch in batches:
+            if leftover is not None and len(leftover):
+                batch = pd.concat([leftover, batch], ignore_index=True)
+                leftover = None
+            if not len(batch):
+                continue
+            terms = batch["term"].to_numpy()
+            cut = int(np.searchsorted(terms, terms[-1], side="left"))
+            bks = batch["bucket"].to_numpy()
+            cut += int(np.searchsorted(bks[cut:], bks[-1], side="left"))
+            leftover = batch.iloc[cut:]
+            complete = batch.iloc[:cut]
+            if len(complete):
+                yield encode(complete)
+        if leftover is not None and len(leftover):
+            yield encode(leftover)
+
+    return mapper
+
+
 def tokens_udf(preset: str):
     """content -> array<string> of analyzed terms (F5 in SURVEY.md §2.3)."""
 

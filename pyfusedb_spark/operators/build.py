@@ -48,12 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyfusedb_spark.functions.udfs import (
-    CHUNK_SCHEMA,
     CHUNK_SCHEMA_BUCKETED,
-    TF_ROW_SCHEMA,
-    make_chunk_encoder,
-    make_grouped_chunk_encoder,
-    make_tf_exploder,
+    PACKED_TF_SCHEMA,
+    make_packed_encoder,
+    make_packed_tf_exploder,
     sha256_col,
 )
 from pyfusedb_spark.operators.ids import assign_doc_ids
@@ -93,6 +91,30 @@ def _local_agg(sql: str) -> dict:
     return {c: pdf[c].iloc[0] for c in pdf.columns}
 
 
+def _tf_globs(tf_dir: str) -> str:
+    """Quoted DuckDB glob for whichever tf layout exists (flat vs
+    hive bucket dirs) — DuckDB errors on a glob matching no files."""
+    import glob as _g
+
+    if _g.glob(os.path.join(tf_dir, "*.parquet")):
+        return f"'{tf_dir}/*.parquet'"
+    return f"'{tf_dir}/*/*.parquet'"
+
+
+def _tf_long(spark: SparkSession, tf_dir: str) -> DataFrame:
+    """Long-format (term, doc_id, tf, dl) view over the packed tf runs."""
+    return (
+        spark.read.parquet(tf_dir)
+        .select("term", F.explode(F.arrays_zip("docs", "tfs", "dls")).alias("z"))
+        .select(
+            "term",
+            F.col("z.docs").alias("doc_id"),
+            F.col("z.tfs").alias("tf"),
+            F.col("z.dls").alias("dl"),
+        )
+    )
+
+
 def _assemble_doc_stats(spark: SparkSession, ds_sha_dir: str, tf_dir: str, ds_dir: str) -> None:
     """doc_stats(doc_id, doc_len, sha256) = sha ⟕ max(doc_len) per doc.
 
@@ -108,7 +130,9 @@ def _assemble_doc_stats(spark: SparkSession, ds_sha_dir: str, tf_dir: str, ds_di
         duckdb.sql(
             f"COPY (SELECT s.doc_id, coalesce(l.doc_len, 0)::BIGINT AS doc_len, s.sha256 "
             f"FROM '{ds_sha_dir}/*.parquet' s LEFT JOIN ("
-            f"  SELECT doc_id, max(doc_len) AS doc_len FROM parquet_scan('{tf_dir}/*/*.parquet') GROUP BY doc_id"
+            f"  SELECT doc_id, max(dl)::BIGINT AS doc_len FROM ("
+            f"    SELECT unnest(docs) AS doc_id, unnest(dls) AS dl FROM parquet_scan({_tf_globs(tf_dir)})"
+            f"  ) GROUP BY doc_id"
             f") l USING (doc_id)) TO '{ds_dir}/part-00000.parquet' (FORMAT PARQUET)"
         )
         return
@@ -116,9 +140,9 @@ def _assemble_doc_stats(spark: SparkSession, ds_sha_dir: str, tf_dir: str, ds_di
         pass
     sha = spark.read.parquet(ds_sha_dir)
     lens = (
-        spark.read.parquet(tf_dir)
+        _tf_long(spark, tf_dir)
         .groupBy("doc_id")
-        .agg(F.max("doc_len").alias("doc_len"))
+        .agg(F.max("dl").cast("long").alias("doc_len"))
     )
     (
         sha.join(lens, "doc_id", "left")
@@ -244,13 +268,21 @@ def build_index(
 
             print(f"[tf] sha/ids done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         # -- job B: tokenize + explode in one Arrow pass --
-        (
+        # per-bucket mode needs hive bucket dirs (its jobs filter
+        # bucket == k -> directory pruning); single-pass groups on the
+        # bucket COLUMN and reads everything once, so skip partitionBy —
+        # 4x fewer output files, much lighter job commit
+        tf_writer = (
             docs.select(F.col("doc_id").cast("long").alias("doc_id"), content_col)
-            .mapInPandas(make_tf_exploder(config.preset, bucket_span, content_col), TF_ROW_SCHEMA)
+            .mapInPandas(
+                make_packed_tf_exploder(config.preset, bucket_span, content_col),
+                PACKED_TF_SCHEMA,
+            )
             .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(tf_dir)
         )
+        if config.posting_mode != "single-pass":
+            tf_writer = tf_writer.partitionBy("bucket")
+        tf_writer.parquet(tf_dir)
         if _dbg:
             print(f"[tf] tf rows written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         cache = getattr(docs, "_pyfusedb_cache", None)
@@ -306,7 +338,7 @@ def build_index(
 
     # ---------------- per-bucket posting build ----------------
     n_shuffle = config.shuffle_partitions or spark.sparkContext.defaultParallelism
-    encoder = make_chunk_encoder(avgdl, config.k1, config.b, config.block_size)
+    encoder = make_packed_encoder(avgdl, config.k1, config.b, config.block_size)
 
     def _build_bucket(k: int) -> None:
         key = f"bucket={k}"
@@ -320,10 +352,12 @@ def build_index(
         # fetches read ~1 row group per file, and absent terms never
         # reach the fetch (lexicon check first)
         chunks = (
-            tf_k.select("term", "doc_id", "tf", "doc_len")
+            tf_k.select("term", F.col("bucket").cast("int").alias("bucket"),
+                        "docs", "tfs", "dls")
             .repartition(n_shuffle, "term")
-            .sortWithinPartitions("term", "doc_id")
-            .mapInPandas(encoder, CHUNK_SCHEMA)
+            .sortWithinPartitions("term")
+            .mapInPandas(encoder, CHUNK_SCHEMA_BUCKETED)
+            .drop("bucket")  # bucket is the hive dir here
         )
         staging = cat.staging_dir(final_dir)
         # small row groups -> parquet min/max stats on `term` give real
@@ -392,16 +426,15 @@ def build_index(
     if config.posting_mode == "single-pass":
         if not (resume and cat.is_committed("stage_postings")):
             t0 = time.perf_counter()
-            genc = make_grouped_chunk_encoder(avgdl, config.k1, config.b, config.block_size)
             tf_all = spark.read.parquet(tf_dir)
             chunks = (
                 tf_all.select(
                     "term", F.col("bucket").cast("int").alias("bucket"),
-                    "doc_id", "tf", "doc_len",
+                    "docs", "tfs", "dls",
                 )
                 .repartition(n_shuffle, "term", "bucket")
-                .sortWithinPartitions("term", "bucket", "doc_id")
-                .mapInPandas(genc, CHUNK_SCHEMA_BUCKETED)
+                .sortWithinPartitions("term", "bucket")
+                .mapInPandas(encoder, CHUNK_SCHEMA_BUCKETED)
             )
             staging = cat.staging_dir(idx_dir)
             chunks.write.option("parquet.block.size", str(256 << 10)).mode(
@@ -466,11 +499,11 @@ def build_index(
     # ---------------- norms (exact, v1 semantics) ----------------
     if config.compute_norms and (not resume or cat.read_manifest("stage_norms") is None):
         t0 = time.perf_counter()
-        tf_all = spark.read.parquet(tf_dir)
+        tf_long = _tf_long(spark, tf_dir)
         lex = spark.read.parquet(lex_dir).select("term", "df")
         # vocabulary is usually small enough to broadcast; at larger vocab
         # Catalyst/AQE picks a shuffle join automatically
-        joined = tf_all.join(F.broadcast(lex), "term")
+        joined = tf_long.join(F.broadcast(lex), "term")
         w = (F.lit(1.0) + F.log10(F.col("tf"))) * F.log10(F.lit(float(n_docs)) / F.col("df"))
         norms = joined.groupBy("doc_id").agg(F.sqrt(F.sum(w * w)).alias("norm"))
         ds = spark.read.parquet(ds_dir)

@@ -30,9 +30,18 @@ def run_level(cpus: int, rows: int) -> dict:
         BENCH_ONLY_SYNTH="1",
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
     )
+    # Pin the whole process tree (JVM + python workers) to exactly
+    # `cpus` physical cores: local[N] only caps task slots — GC, shuffle,
+    # parquet-writer and Python workers would otherwise overflow onto
+    # extra cores and inflate the low-parallelism level's throughput
+    # (a real N-core executor has no such spare cores).
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
+        cmd, env=env, capture_output=True, text=True, timeout=3600,
     )
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     if not lines:
