@@ -348,13 +348,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):  # rows-only
         return dedup.simhash(_docs(spark, sf), "text", "doc_id")
 
+    def dedup_simhash_pairs(spark, sf):  # rows-only (banded hamming-ball join)
+        out = dedup.simhash_near_duplicates(_docs(spark, sf), "text", "doc_id",
+                                            max_hamming=8)
+        return out
+
     def dedup_embedding(spark, sf):
         out = dedup.embedding_near_duplicates(_emb(spark, sf), threshold=0.35)
         return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
     q.update(dedup_exact=dedup_exact, dedup_ngram_jaccard=dedup_ngram_jaccard,
              dedup_minhash=dedup_minhash, dedup_simhash=dedup_simhash,
-             dedup_embedding=dedup_embedding)
+             dedup_simhash_pairs=dedup_simhash_pairs, dedup_embedding=dedup_embedding)
 
     # ---- similarity search ----
     def knn_brute(spark, sf):

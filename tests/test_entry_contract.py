@@ -47,7 +47,9 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert not missing, f"oracle without query: {missing}"
     no_oracle = [k for k in ALL if k not in ORACLES]
     # only the declared rows-only ops may omit an oracle
-    assert set(no_oracle) <= {"dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf_probe"}
+    assert set(no_oracle) <= {
+        "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs", "ann_lsh", "ann_ivf_probe",
+    }
 
 
 @pytest.mark.parametrize("name", ALL)
@@ -56,7 +58,9 @@ def test_query_vs_oracle(spark, con, name):
     got = fn(spark, SF).toPandas()
     assert got is not None
     if name not in ORACLES:
-        assert len(got) > 0 or name in ("dedup_minhash",), f"{name}: rows-only check empty"
+        assert len(got) > 0 or name in (
+            "dedup_minhash", "dedup_simhash_pairs",
+        ), f"{name}: rows-only check empty"
         return
     expect = con.sql(ORACLES[name]).df()
     g, e = _normalize(got), _normalize(expect)
