@@ -52,8 +52,10 @@ def _index(spark: SparkSession, sf_dir: str) -> FuseIndex:
     """Build (once, resumable) the 'simple'-analyzer index for sf_dir."""
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
+        # cache dir is format-versioned: a stale index built by older
+        # code must not be resumed into the new on-disk layout
         out = os.path.join(
-            tempfile.gettempdir(), "pyfusedb_entry_idx", key.strip("/").replace("/", "_")
+            tempfile.gettempdir(), "pyfusedb_entry_idx_v2", key.strip("/").replace("/", "_")
         )
         os.makedirs(out, exist_ok=True)
         build_index(
