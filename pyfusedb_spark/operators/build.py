@@ -154,6 +154,32 @@ def _assemble_doc_stats(spark: SparkSession, ds_sha_dir: str, tf_dir: str, ds_di
 
 
 
+def _lexicon_local(idx_dir: str, lex_dir: str, cat) -> bool:
+    """Driver-local lexicon aggregation (term-sorted parquet) when the
+    chunk metadata fits comfortably on the driver — saves a whole Spark
+    job of scheduling latency per build. Returns False (caller uses the
+    Spark path) for big indexes or when DuckDB is unavailable."""
+    try:
+        import duckdb  # noqa: PLC0415
+
+        meta_cols_bytes = _dir_bytes(idx_dir)
+        if meta_cols_bytes > 4 << 30:
+            return False
+        staging = cat.staging_dir(lex_dir)
+        os.makedirs(staging, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT term, sum(df_chunk)::BIGINT AS df, "
+            f"sum(sum_tf)::BIGINT AS total_tf, max(max_partial)::FLOAT AS max_partial, "
+            f"count(*)::BIGINT AS n_chunks "
+            f"FROM parquet_scan('{idx_dir}/*/*.parquet') GROUP BY term ORDER BY term) "
+            f"TO '{staging}/part-00000.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
+        )
+        cat.promote_dir(staging, lex_dir)
+        return True
+    except Exception:
+        return False
+
+
 def _partition_metrics(final_dir: str) -> list | None:
     """Per-shuffle-partition posting metrics (north rule: per-partition
     logging): [pid, n_terms, n_postings, encode_cpu_s, postings_per_cpu_s]."""
@@ -464,21 +490,22 @@ def build_index(
     m_lex = cat.read_manifest("stage_lexicon") if resume else None
     if m_lex is None:
         t0 = time.perf_counter()
-        lex = (
-            spark.read.parquet(idx_dir)
-            .groupBy("term")
-            .agg(
-                F.sum("df_chunk").alias("df"),
-                F.sum("sum_tf").alias("total_tf"),
-                F.max("max_partial").alias("max_partial"),
-                F.count(F.lit(1)).alias("n_chunks"),
+        if not _lexicon_local(idx_dir, lex_dir, cat):
+            lex = (
+                spark.read.parquet(idx_dir)
+                .groupBy("term")
+                .agg(
+                    F.sum("df_chunk").alias("df"),
+                    F.sum("sum_tf").alias("total_tf"),
+                    F.max("max_partial").alias("max_partial"),
+                    F.count(F.lit(1)).alias("n_chunks"),
+                )
             )
-        )
-        staging = cat.staging_dir(lex_dir)
-        lex.repartitionByRange(max(1, n_shuffle // 4), "term").sortWithinPartitions(
-            "term"
-        ).write.option("parquet.block.size", str(256 << 10)).mode("overwrite").parquet(staging)
-        cat.promote_dir(staging, lex_dir)
+            staging = cat.staging_dir(lex_dir)
+            lex.repartitionByRange(max(1, n_shuffle // 4), "term").sortWithinPartitions(
+                "term"
+            ).write.option("parquet.block.size", str(256 << 10)).mode("overwrite").parquet(staging)
+            cat.promote_dir(staging, lex_dir)
         row = _local_agg(
             f"SELECT count(*)::BIGINT AS vocab, coalesce(sum(df),0)::BIGINT AS postings "
             f"FROM '{lex_dir}/*.parquet'"
