@@ -166,6 +166,7 @@ def encode_postings_multi(
     k1: float = 1.2,
     b: float = 0.75,
     block_size: int = BLOCK_SIZE,
+    flat_only: bool = False,
 ) -> dict:
     """Encode MANY contiguous posting groups in one vectorized pass.
 
@@ -220,18 +221,31 @@ def encode_postings_multi(
         np.maximum.reduceat(partials, starts) if n else np.zeros(0, np.float64)
     ).astype(np.float32)
     sum_tf = np.add.reduceat(t, starts) if n else np.zeros(0, np.int64)
-    splits = np.cumsum(nblk)[:-1]
-    return {
+    out = {
         "n_groups": g,
         "df_chunk": counts,
         "sum_tf": sum_tf,
-        "payloads": [payload_all[lo:hi] for lo, hi in zip(byte_lo, byte_hi)],
-        "block_offsets": np.split(blk_off, splits),
-        "block_first": np.split(blk_first, splits),
-        "block_last": np.split(blk_last, splits),
-        "block_max_partial": np.split(blk_max, splits),
         "max_partial": grp_max,
+        # flat forms (zero-copy Arrow output path): groups are contiguous
+        # in payload_all, so byte bounds are just the g+1 boundaries
+        "payload_all": payload_all,
+        "payload_bounds": np.append(byte_lo, byte_hi[-1] if g else 0),
+        "n_blocks": nblk,
+        "blk_off_flat": blk_off,
+        "blk_first_flat": blk_first,
+        "blk_last_flat": blk_last,
+        "blk_max_flat": blk_max,
     }
+    if not flat_only:
+        splits = np.cumsum(nblk)[:-1]
+        out.update(
+            payloads=[payload_all[lo:hi] for lo, hi in zip(byte_lo, byte_hi)],
+            block_offsets=np.split(blk_off, splits),
+            block_first=np.split(blk_first, splits),
+            block_last=np.split(blk_last, splits),
+            block_max_partial=np.split(blk_max, splits),
+        )
+    return out
 
 
 def decode_postings(payload: bytes, n_postings: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

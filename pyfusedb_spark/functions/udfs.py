@@ -192,40 +192,66 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
 
 
 def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
-    """mapInPandas fn merging packed runs into encoded chunks.
+    """mapInArrow fn merging packed runs into encoded chunks.
 
-    Input: PACKED_TF_SCHEMA rows sorted by (term, bucket) within the
+    Input: PACKED_TF_SCHEMA batches sorted by (term, bucket) within the
     partition (runs of one group adjacent, internal order arbitrary).
-    Flat algorithm: concatenate all runs, ONE integer lexsort by
-    (group, doc_id) — the distributed k-way merge the reference does
-    with a heap (app/InvertedIndexFinal.py:287-346) — then the flat
-    multi-group codec. Output: CHUNK_SCHEMA_BUCKETED rows."""
+    Operates on Arrow buffers directly — flat value arrays via
+    ``ListArray.flatten()`` / ``value_lengths()``, output payloads as ONE
+    zero-copy binary buffer. A pandas round-trip here materialized ~12M
+    per-cell numpy arrays per build and dominated the stage wall.
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+    Flat merge: ONE integer lexsort by (group, doc_id) — the reference's
+    k-way heap merge (app/InvertedIndexFinal.py:287-346), distributed —
+    then codec.encode_postings_multi for every group at once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_fields = [
+        ("bucket", pa.int32()),
+        ("pid", pa.int32()),
+        ("term", pa.string()),
+        ("df_chunk", pa.int64()),
+        ("sum_tf", pa.int64()),
+        ("payload", pa.binary()),
+        ("block_offsets", pa.list_(pa.int64())),
+        ("block_first", pa.list_(pa.int64())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max_partial", pa.list_(pa.float32())),
+        ("max_partial", pa.float32()),
+        ("enc_micros", pa.int64()),
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def encode_batch(batch: "pa.RecordBatch") -> "pa.RecordBatch":
         t0 = time.perf_counter()
         from pyspark import TaskContext
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
-        terms = pdf["term"].to_numpy()
-        bks = pdf["bucket"].to_numpy(dtype=np.int64)
-        doc_cells = pdf["docs"].to_numpy()
-        tf_cells = pdf["tfs"].to_numpy()
-        dl_cells = pdf["dls"].to_numpy()
-        n_rows = len(terms)
-        run_lens = np.fromiter((len(x) for x in doc_cells), np.int64, n_rows)
-        flat_d = np.concatenate(doc_cells).astype(np.int64)
-        flat_t = np.concatenate(tf_cells).astype(np.int64)
-        flat_l = np.concatenate(dl_cells).astype(np.int64)
+        term_arr = batch.column("term")
+        bucket_np = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        docs_la = batch.column("docs")
+        tfs_la = batch.column("tfs")
+        dls_la = batch.column("dls")
+        n_rows = batch.num_rows
+        run_lens = pc.list_value_length(docs_la).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_d = docs_la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_t = tfs_la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_l = dls_la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         newg_row = np.empty(n_rows, dtype=bool)
         newg_row[0] = True
-        newg_row[1:] = (terms[1:] != terms[:-1]) | (bks[1:] != bks[:-1])
+        if n_rows > 1:
+            tchg = pc.not_equal(
+                term_arr.slice(1), term_arr.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+            newg_row[1:] = tchg | (bucket_np[1:] != bucket_np[:-1])
         grow = np.flatnonzero(newg_row)
         gid_post = np.repeat(np.cumsum(newg_row) - 1, run_lens)
         order = np.lexsort((flat_d, gid_post))
         d2, t2, l2, g2 = flat_d[order], flat_t[order], flat_l[order], gid_post[order]
-        np_ = len(d2)
-        newp = np.empty(np_, dtype=bool)
+        npost = len(d2)
+        newp = np.empty(npost, dtype=bool)
         newp[0] = True
         newp[1:] = g2[1:] != g2[:-1]
         keep = newp.copy()
@@ -235,46 +261,72 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
             t2 = np.bincount(seg, weights=t2).astype(np.int64)
             d2, l2, newp = d2[keep], l2[keep], newp[keep]
         starts = np.flatnonzero(newp)
-        enc = codec.encode_postings_multi(starts, d2, t2, l2, avgdl, k1, b, block_size)
+        enc = codec.encode_postings_multi(starts, d2, t2, l2, avgdl, k1, b, block_size, flat_only=True)
         g = enc["n_groups"]
+        payload_all, byte_bounds = enc["payload_all"], enc["payload_bounds"]
+        nblk = enc["n_blocks"]
+        blk_bounds = np.concatenate(([0], np.cumsum(nblk))).astype(np.int32)
         micros = int((time.perf_counter() - t0) * 1e6)
         per = np.full(g, micros // g if g else 0, dtype=np.int64)
         if g:
             per[0] += micros - int(per.sum())
-        data = {
-            "bucket": bks[grow].astype(np.int32),
-            "pid": np.full(g, pid, dtype=np.int32),
-            "term": terms[grow],
-            "df_chunk": enc["df_chunk"],
-            "sum_tf": enc["sum_tf"],
-            "payload": enc["payloads"],
-            "block_offsets": enc["block_offsets"],
-            "block_first": enc["block_first"],
-            "block_last": enc["block_last"],
-            "block_max_partial": enc["block_max_partial"],
-            "max_partial": enc["max_partial"],
-            "enc_micros": per,
-        }
-        return pd.DataFrame(data)[[f.name for f in CHUNK_SCHEMA_BUCKETED.fields]]
+        payload_arr = pa.Array.from_buffers(
+            pa.binary(), g,
+            [None, pa.py_buffer(byte_bounds.astype(np.int32).tobytes()),
+             pa.py_buffer(payload_all)],
+        )
 
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        leftover: pd.DataFrame | None = None
+        def lst(flat_vals: np.ndarray, typ) -> pa.Array:
+            return pa.ListArray.from_arrays(
+                pa.array(blk_bounds, type=pa.int32()), pa.array(flat_vals, type=typ)
+            )
+
+        cols = [
+            pa.array(bucket_np[grow].astype(np.int32), type=pa.int32()),
+            pa.array(np.full(g, pid, dtype=np.int32), type=pa.int32()),
+            pc.take(term_arr, pa.array(grow, type=pa.int64())),
+            pa.array(enc["df_chunk"], type=pa.int64()),
+            pa.array(enc["sum_tf"], type=pa.int64()),
+            payload_arr,
+            lst(enc["blk_off_flat"], pa.int64()),
+            lst(enc["blk_first_flat"], pa.int64()),
+            lst(enc["blk_last_flat"], pa.int64()),
+            lst(enc["blk_max_flat"], pa.float32()),
+            pa.array(enc["max_partial"], type=pa.float32()),
+            pa.array(per, type=pa.int64()),
+        ]
+        return pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    def _concat(a: "pa.RecordBatch", b: "pa.RecordBatch") -> "pa.RecordBatch":
+        cols = [
+            pa.concat_arrays([pa.Array.from_pandas(x) if not isinstance(x, pa.Array) else x
+                              for x in (a.column(i), b.column(i))])
+            for i in range(a.num_columns)
+        ]
+        return pa.RecordBatch.from_arrays(cols, schema=a.schema)
+
+    def mapper(batches):
+        leftover = None
         for batch in batches:
-            if leftover is not None and len(leftover):
-                batch = pd.concat([leftover, batch], ignore_index=True)
+            if leftover is not None and leftover.num_rows:
+                batch = _concat(leftover, batch)
                 leftover = None
-            if not len(batch):
+            n = batch.num_rows
+            if not n:
                 continue
-            terms = batch["term"].to_numpy()
-            cut = int(np.searchsorted(terms, terms[-1], side="left"))
-            bks = batch["bucket"].to_numpy()
-            cut += int(np.searchsorted(bks[cut:], bks[-1], side="left"))
-            leftover = batch.iloc[cut:]
-            complete = batch.iloc[:cut]
-            if len(complete):
-                yield encode(complete)
-        if leftover is not None and len(leftover):
-            yield encode(leftover)
+            # hold back the (possibly incomplete) last (term,bucket) group
+            term_arr = batch.column("term")
+            bucket_np = batch.column("bucket").to_numpy(zero_copy_only=False)
+            cut = n - 1
+            last_t = term_arr[n - 1]
+            last_b = bucket_np[n - 1]
+            while cut > 0 and bucket_np[cut - 1] == last_b and term_arr[cut - 1] == last_t:
+                cut -= 1
+            leftover = batch.slice(cut)
+            if cut:
+                yield encode_batch(batch.slice(0, cut))
+        if leftover is not None and leftover.num_rows:
+            yield encode_batch(leftover)
 
     return mapper
 

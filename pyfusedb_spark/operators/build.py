@@ -382,7 +382,7 @@ def build_index(
                         "docs", "tfs", "dls")
             .repartition(n_shuffle, "term")
             .sortWithinPartitions("term")
-            .mapInPandas(encoder, CHUNK_SCHEMA_BUCKETED)
+            .mapInArrow(encoder, CHUNK_SCHEMA_BUCKETED)
             .drop("bucket")  # bucket is the hive dir here
         )
         staging = cat.staging_dir(final_dir)
@@ -460,7 +460,7 @@ def build_index(
                 )
                 .repartition(n_shuffle, "term", "bucket")
                 .sortWithinPartitions("term", "bucket")
-                .mapInPandas(encoder, CHUNK_SCHEMA_BUCKETED)
+                .mapInArrow(encoder, CHUNK_SCHEMA_BUCKETED)
             )
             staging = cat.staging_dir(idx_dir)
             chunks.write.option("parquet.block.size", str(256 << 10)).mode(
