@@ -116,7 +116,7 @@ PACKED_TF_SCHEMA = T.StructType(
 
 
 def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "content"):
-    """mapInPandas fn: corpus rows -> PACKED per-(term,bucket) partial
+    """mapInArrow fn: corpus rows -> PACKED per-(term,bucket) partial
     posting runs, one row per distinct (term, bucket) per Arrow batch.
 
     This is the SPIMI map-side partial posting list (north star: partial
@@ -125,16 +125,36 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
     posting — long-tail terms cost the same, but every mid/hot term
     collapses its per-batch postings into three packed int arrays and
     ONE term string. Term grouping uses pd.factorize (hash, O(n)) + an
-    integer lexsort — no string sort."""
+    integer lexsort — no string sort. Output is built as Arrow
+    ListArrays from flat buffers (a pandas frame of per-cell numpy
+    arrays measured ~2x slower to serialize).
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Runs are capped at _MAX_RUN postings: a hot term would otherwise
+    pack a whole Arrow batch into ONE giant cell, blowing up the
+    vectorized parquet reader's per-batch memory downstream (seen as
+    JVM OOM at 65536-doc batches). The encoder merges multiple runs
+    per group, so splitting is free."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("bucket", pa.int32()),
+            ("docs", pa.list_(pa.int64())),
+            ("tfs", pa.list_(pa.int32())),
+            ("dls", pa.list_(pa.int32())),
+        ]
+    )
+
+    def pack(batches):
         az = _get_analyzer(preset)
         analyze = az.analyze
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            counters = [Counter(analyze(c or "")) for c in pdf[content_col].tolist()]
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            contents = batch.column(content_col).to_pylist()
+            counters = [Counter(analyze(c or "")) for c in contents]
             lens = np.fromiter((sum(c.values()) for c in counters), np.int64, len(counters))
             reps = np.fromiter((len(c) for c in counters), np.int64, len(counters))
             ntot = int(reps.sum())
@@ -159,11 +179,6 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
             newg[0] = True
             newg[1:] = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
             gs = np.flatnonzero(newg)
-            # cap run length: a hot term would otherwise pack this whole
-            # Arrow batch into ONE giant array cell, blowing up the
-            # vectorized parquet reader's per-batch memory downstream
-            # (seen as JVM OOM at 65536-doc batches). The encoder merges
-            # multiple runs per group, so splitting is free.
             glens = np.diff(np.append(gs, ntot))
             big = np.flatnonzero(glens > _MAX_RUN)
             if big.size:
@@ -176,17 +191,17 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
                 starts_all = np.sort(np.concatenate([gs, extra]))
             else:
                 starts_all = gs
-            cut = starts_all[1:]
             row_of = np.searchsorted(gs, starts_all, side="right") - 1
-            yield pd.DataFrame(
-                {
-                    "term": uniq[c_s[gs[row_of]]],
-                    "bucket": b_s[gs[row_of]].astype(np.int32),
-                    "docs": np.split(rep_ids[order], cut),
-                    "tfs": np.split(tfs[order], cut),
-                    "dls": np.split(rep_dls[order], cut),
-                }
-            )
+            bounds = np.append(starts_all, ntot).astype(np.int32)
+            off = pa.array(bounds, type=pa.int32())
+            cols = [
+                pa.array(uniq[c_s[gs[row_of]]], type=pa.string()),
+                pa.array(b_s[gs[row_of]].astype(np.int32), type=pa.int32()),
+                pa.ListArray.from_arrays(off, pa.array(rep_ids[order], type=pa.int64())),
+                pa.ListArray.from_arrays(off, pa.array(tfs[order], type=pa.int32())),
+                pa.ListArray.from_arrays(off, pa.array(rep_dls[order], type=pa.int32())),
+            ]
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return pack
 

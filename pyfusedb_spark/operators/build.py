@@ -300,7 +300,7 @@ def build_index(
         # 4x fewer output files, much lighter job commit
         tf_writer = (
             docs.select(F.col("doc_id").cast("long").alias("doc_id"), content_col)
-            .mapInPandas(
+            .mapInArrow(
                 make_packed_tf_exploder(config.preset, bucket_span, content_col),
                 PACKED_TF_SCHEMA,
             )
