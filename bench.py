@@ -83,14 +83,25 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     corpus = spark.read.parquet(corpus_dir)
     sdir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_synth_{cpus}")
     shutil.rmtree(sdir, ignore_errors=True)
-    # warm the Python worker pool (imports of numpy/pandas/our package)
-    # before timing: cold-start is a per-process constant, not a scaling
-    # property — real clusters run warm executors
-    from pyfusedb_spark.functions.udfs import term_freqs_udf
+    # warm the WHOLE Python worker pool (fork + numpy/pandas/pyarrow/our
+    # package imports) before timing: cold-start is a per-process
+    # constant, not a scaling property — real clusters run warm
+    # executors. A limit()-based warmup collapses to 1-2 partitions and
+    # leaves the other workers cold, which penalizes the high-core level.
+    def _warm(batches):
+        import pyarrow  # noqa: F401,PLC0415
 
-    corpus.limit(2000).select(
-        term_freqs_udf("code")(F.col("content"))
-    ).write.format("noop").mode("overwrite").save()
+        from pyfusedb_spark.analysis import Analyzer  # noqa: PLC0415
+        from pyfusedb_spark.functions import codec  # noqa: F401,PLC0415
+
+        Analyzer("code").analyze("warm up the stemmer and regexes")
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, cpus * 8, 1, cpus * 8).mapInPandas(_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    corpus.limit(2000).count()  # touch the corpus files too
     t0 = time.perf_counter()
     build_index(
         spark, corpus, sdir, doc_id_col="doc_id",
