@@ -51,57 +51,6 @@ def term_freqs_udf(preset: str):
     return term_freqs
 
 
-TF_ROW_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("doc_len", T.LongType(), False),
-        T.StructField("bucket", T.IntegerType(), False),
-        T.StructField("term", T.StringType(), False),
-        T.StructField("tf", T.IntegerType(), False),
-    ]
-)
-
-
-def make_tf_exploder(preset: str, bucket_span: int, content_col: str = "content"):
-    """mapInPandas fn: corpus rows -> long-format (doc_id, doc_len,
-    bucket, term, tf) rows in ONE Arrow pass.
-
-    This deliberately bypasses a map<term,tf> intermediate column: the
-    MapType round-trip (Arrow -> JVM MapData -> explode, worse with a
-    persist) measured ~2-3x slower than emitting the exploded frame
-    straight from pandas; numpy `repeat` does the fan-out vectorized.
-    Docs with zero terms emit no rows (doc_stats assembly left-joins
-    them back with doc_len=0 — N counts empty docs,
-    app/InvertedIndex.py:34)."""
-
-    def explode_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        az = _get_analyzer(preset)
-        analyze = az.analyze
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            counters = [Counter(analyze(c or "")) for c in pdf[content_col].tolist()]
-            lens = np.fromiter((sum(c.values()) for c in counters), np.int64, len(counters))
-            reps = np.fromiter((len(c) for c in counters), np.int64, len(counters))
-            rep_ids = np.repeat(ids, reps)
-            yield pd.DataFrame(
-                {
-                    "doc_id": rep_ids,
-                    "doc_len": np.repeat(lens, reps),
-                    "bucket": (rep_ids // bucket_span).astype(np.int32),
-                    "term": [t for c in counters for t in c.keys()],
-                    "tf": np.fromiter(
-                        (v for c in counters for v in c.values()),
-                        np.int32,
-                        int(reps.sum()),
-                    ),
-                }
-            )
-
-    return explode_tf
-
-
 _MAX_RUN = 1024  # max postings per packed run row (bounds reader memory)
 
 PACKED_TF_SCHEMA = T.StructType(
@@ -490,45 +439,6 @@ def make_chunk_encoder(avgdl: float, k1: float, b: float, block_size: int):
 CHUNK_SCHEMA_BUCKETED = T.StructType(
     [T.StructField("bucket", T.IntegerType(), False)] + list(CHUNK_SCHEMA.fields)
 )
-
-
-def make_grouped_chunk_encoder(avgdl: float, k1: float, b: float, block_size: int):
-    """Single-pass variant: input rows carry (term, bucket) and are
-    sorted by (term, bucket, doc_id) within the partition; output adds
-    the bucket column so one job can write every bucket directory
-    (write.partitionBy('bucket')). Batch carry-over holds back the last
-    (term, bucket) group."""
-
-    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition_flat(
-            pdf["term"].to_numpy(),
-            pdf["bucket"].to_numpy(dtype=np.int64),
-            pdf["doc_id"].to_numpy(dtype=np.int64),
-            pdf["tf"].to_numpy(dtype=np.int64),
-            pdf["doc_len"].to_numpy(dtype=np.int64),
-            avgdl, k1, b, block_size,
-        )
-
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        leftover: pd.DataFrame | None = None
-        for batch in batches:
-            if leftover is not None and len(leftover):
-                batch = pd.concat([leftover, batch], ignore_index=True)
-                leftover = None
-            if not len(batch):
-                continue
-            terms = batch["term"].to_numpy()
-            cut = int(np.searchsorted(terms, terms[-1], side="left"))
-            bks = batch["bucket"].to_numpy()
-            cut += int(np.searchsorted(bks[cut:], bks[-1], side="left"))
-            leftover = batch.iloc[cut:]
-            complete = batch.iloc[:cut]
-            if len(complete):
-                yield encode_groups(complete)
-        if leftover is not None and len(leftover):
-            yield encode_groups(leftover)
-
-    return mapper
 
 
 def sha256_col(col: str = "content"):
