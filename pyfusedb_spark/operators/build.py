@@ -371,16 +371,16 @@ def build_index(
         t0 = time.perf_counter()
         final_dir = os.path.join(idx_dir, f"bucket={k}")
         tf_k = spark.read.parquet(tf_dir).where(F.col("bucket") == k)
-        # hash repartition (NOT repartitionByRange): measured +40-50%
-        # posting-stage wall for the range sampler's extra scan + string
-        # boundary search, while 256K row groups + sortWithinPartitions
-        # already give tight term min/max stats per row group — query
-        # fetches read ~1 row group per file, and absent terms never
-        # reach the fetch (lexicon check first)
+        # repartitionByRange on term: each output file covers a narrow
+        # term range, so query fetches prune to ~1-2 FILES via file-level
+        # min/max stats (hash placement made every term touch every file,
+        # ~32MB read amp per hot lookup at 1M docs). The range sampler
+        # scans packed runs (~20x fewer rows than raw postings), so its
+        # extra pass is cheap now
         chunks = (
             tf_k.select("term", F.col("bucket").cast("int").alias("bucket"),
                         "docs", "tfs", "dls")
-            .repartition(n_shuffle, "term")
+            .repartitionByRange(n_shuffle, "term")
             .sortWithinPartitions("term")
             .mapInArrow(encoder, CHUNK_SCHEMA_BUCKETED)
             .drop("bucket")  # bucket is the hive dir here
@@ -458,7 +458,7 @@ def build_index(
                     "term", F.col("bucket").cast("int").alias("bucket"),
                     "docs", "tfs", "dls",
                 )
-                .repartition(n_shuffle, "term", "bucket")
+                .repartitionByRange(n_shuffle, "term", "bucket")
                 .sortWithinPartitions("term", "bucket")
                 .mapInArrow(encoder, CHUNK_SCHEMA_BUCKETED)
             )
@@ -548,6 +548,7 @@ def build_index(
     stats = {
         "format_version": 1,
         "config": asdict(config),
+        "max_doc_id": m_tf.get("max_doc_id"),
         "tokens_per_sec": (
             round(m_stats["total_len"] / tok_secs, 1) if tok_secs else None
         ),
