@@ -202,6 +202,13 @@ def main() -> None:
         "|---|---|---|---|",
         *_stage_rows(n_low, n_hi),
         "",
+        "The compute-dense tokenize stage scales at the machine's own ceiling;",
+        "the posting stage is shuffle/sort/Arrow data MOVEMENT and pins the",
+        "single shared-VM memory controller — more threads on one socket do",
+        "not add bandwidth, which is exactly what separate executor NODES add",
+        "on a real cluster. (Per-partition encode CPU is small — see",
+        "`partitions` in the bucket manifests.)",
+        "",
         "### Hardware calibration (the machine's own ceiling)",
         "",
         "This sandbox host is virtualized: even an embarrassingly parallel",
