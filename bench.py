@@ -168,6 +168,8 @@ def main() -> None:
         # packed tf rows carry array cells (<=1024 postings each); keep the
         # vectorized reader's row batches modest so batch bytes stay bounded
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.io.compression.codec", os.environ.get("BENCH_IO_CODEC", "lz4"))
+        .config("spark.sql.parquet.compression.codec", os.environ.get("BENCH_PQ_CODEC", "snappy"))
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")
