@@ -382,6 +382,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = knn.range_search(_emb(spark, sf), list(qv), 0.25)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def knn_grid_range(spark, sf):
+        # grid-prefiltered range search (R-tree analog) — lossless prune,
+        # so the oracle is the plain full-scan range SQL
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.where(F.col("vec_id") == 5).first()["embedding"]]
+        out = knn.grid_range_search(e, qv, 0.3)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
     def ann_lsh(spark, sf):  # rows-only (hyperplane literals not worth SQL-mirroring)
         qv = _emb(spark, sf).where(F.col("vec_id") == 0).first()["embedding"]
         out = knn.lsh_ann_topk(_emb(spark, sf), list(qv), 10, n_planes=16, max_hamming=6)
@@ -403,7 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
     q.update(knn_brute=knn_brute, knn_batch=knn_batch, knn_range=knn_range,
-             ann_lsh=ann_lsh, ann_ivf_exact=ann_ivf_exact, ann_ivf_probe=ann_ivf_probe)
+             knn_grid_range=knn_grid_range, ann_lsh=ann_lsh,
+             ann_ivf_exact=ann_ivf_exact, ann_ivf_probe=ann_ivf_probe)
 
     # ---- text analysis ----
     def text_quality(spark, sf):
@@ -536,6 +545,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             WHERE list_cosine_similarity(embedding::DOUBLE[],
                      (SELECT embedding FROM embeddings WHERE vec_id = 3)::DOUBLE[]) >= 0.25
+        """,
+        "knn_grid_range": """
+            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 5)::DOUBLE[]), 6) AS cosine
+            FROM embeddings
+            WHERE list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 5)::DOUBLE[]) >= 0.3
         """,
         "ann_ivf_exact": """
             SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],

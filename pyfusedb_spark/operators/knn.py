@@ -20,6 +20,8 @@ via a pushdown-able signature equality — persist signatures bucketed by
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -192,30 +194,41 @@ def ivf_train(
 def ivf_assign(
     emb: DataFrame, centroids: np.ndarray,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    with_cos: bool = False,
 ) -> DataFrame:
-    """(id, cell, embedding): nearest-centroid assignment via ONE
-    vectorized pandas UDF (batch matmul — no per-row Python). Persist
-    the result partitioned/bucketed by ``cell`` so nprobe queries prune
-    whole files at scale."""
+    """(id, cell[, cell_cos], embedding): nearest-centroid assignment via
+    ONE vectorized pandas UDF (batch matmul — no per-row Python).
+    ``with_cos`` also emits cos(x, centroid) so per-cell angular radii
+    can be aggregated (exact grid pruning). Persist the result
+    partitioned/bucketed by ``cell`` so probes prune whole files at
+    scale."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     cent = centroids.copy()
     bcast = emb.sparkSession.sparkContext.broadcast(cent)
 
-    @pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("cell int, cell_cos double")
+    def cell_of(vecs: pd.Series) -> pd.DataFrame:
         c = bcast.value
         x = np.asarray(vecs.tolist(), dtype=np.float64)
         if x.ndim == 1:  # empty batch edge
-            return pd.Series(np.zeros(0, np.int32))
+            return pd.DataFrame({"cell": np.zeros(0, np.int32), "cell_cos": np.zeros(0)})
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return pd.Series((x @ c.T).argmax(axis=1).astype(np.int32))
+        sims = x @ c.T
+        cells = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "cell_cos": sims[np.arange(len(x)), cells]}
+        )
 
-    return emb.select(
+    out = emb.select(
         F.col(id_col).cast("long").alias(id_col),
-        cell_of(F.col(vec_col)).alias("cell"),
+        cell_of(F.col(vec_col)).alias("_a"),
         F.col(vec_col),
     )
+    cols = [F.col(id_col), F.col("_a.cell").alias("cell")]
+    if with_cos:
+        cols.append(F.col("_a.cell_cos").alias("cell_cos"))
+    return out.select(*cols, F.col(vec_col))
 
 
 def ivf_topk(
@@ -239,4 +252,48 @@ def ivf_topk(
         cand.select(F.col(id_col), _cosine_to_query(vec_col, query_vec).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Grid-prefiltered range search (the R-tree analog, M3 in SURVEY.md §2.12)
+# --------------------------------------------------------------------------
+
+def grid_range_search(
+    emb: DataFrame, query_vec: list[float], min_cosine: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16, sample_n: int = 2048, seed: int = 17,
+) -> DataFrame:
+    """Range search with a coarse-cell prefilter (replaces the reference's
+    R-tree bounding-box intersection + exact filter, app/MultiDim.py:133-149,
+    which doesn't distribute).
+
+    Prune rule (exact, no recall loss): for unit vectors,
+    cos(q, x) <= cos(q, c) * cos(x, c) + sin(q, c) * sin(x, c) when x is
+    assigned to centroid c — so a cell whose bound falls below
+    ``min_cosine`` cannot contain ANY qualifying vector and its files are
+    skipped wholesale (persist assignment partitioned by cell). Survivors
+    get the exact cosine filter, identical results to a full scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    cents = ivf_train(emb, n_cells, sample_n, id_col, vec_col, seed)
+    assigned = ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
+    # per-cell max angular radius from the data (in a static index these
+    # stats live beside the cell files; here one tiny agg)
+    radii = {
+        int(r["cell"]): math.acos(max(-1.0, min(1.0, float(r["mc"]))))
+        for r in assigned.groupBy("cell").agg(F.min("cell_cos").alias("mc")).collect()
+    }
+    cos_qc = np.clip(cents @ qn, -1.0, 1.0)
+    ang_qc = np.arccos(cos_qc)
+    keep = []
+    for cell, r_max in radii.items():
+        # angle(q,x) >= angle(q,c) - r_max  =>  cos(q,x) <= cos(max(0, .))
+        if math.cos(max(0.0, ang_qc[cell] - r_max)) >= min_cosine:
+            keep.append(cell)
+    cand = assigned.where(F.col("cell").isin(keep))
+    return (
+        cand.select(F.col(id_col), _cosine_to_query(vec_col, query_vec).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
     )

@@ -195,3 +195,17 @@ def test_ivf_probe_contains_query_cell(spark, emb):
     assert [(r["vec_id"], round(r["cosine"], 9)) for r in got] == [
         (r["vec_id"], round(r["cosine"], 9)) for r in got2
     ]
+
+
+def test_grid_range_search_exact(spark, emb):
+    """Grid-prefiltered range search must equal the full-scan range
+    search exactly (the cell-radius prune is lossless)."""
+    from pyfusedb_spark.operators import knn
+
+    qv = [float(x) for x in emb.where("vec_id = 5").first()["embedding"]]
+    for thresh in (0.2, 0.3, 0.35):
+        got = knn.grid_range_search(emb, qv, thresh).collect()
+        ref = knn.range_search(emb, qv, thresh).collect()
+        assert [(r["vec_id"], round(r["cosine"], 9)) for r in got] == [
+            (r["vec_id"], round(r["cosine"], 9)) for r in ref
+        ], thresh
