@@ -382,6 +382,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = knn.range_search(_emb(spark, sf), list(qv), 0.25)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def knn_brute_l2(spark, sf):
+        # euclidean metric — the reference's sequential-KNN semantics
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.where(F.col("vec_id") == 2).first()["embedding"]]
+        out = knn.brute_force_topk(e, qv, 10, metric="euclidean")
+        return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+    def knn_range_l2(spark, sf):
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.where(F.col("vec_id") == 2).first()["embedding"]]
+        out = knn.range_search_l2(e, qv, 1.2)
+        return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
     def knn_grid_range(spark, sf):
         # grid-prefiltered range search (R-tree analog) — lossless prune,
         # so the oracle is the plain full-scan range SQL
@@ -411,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
     q.update(knn_brute=knn_brute, knn_batch=knn_batch, knn_range=knn_range,
+             knn_brute_l2=knn_brute_l2, knn_range_l2=knn_range_l2,
              knn_grid_range=knn_grid_range, ann_lsh=ann_lsh,
              ann_ivf_exact=ann_ivf_exact, ann_ivf_probe=ann_ivf_probe)
 
@@ -545,6 +559,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             WHERE list_cosine_similarity(embedding::DOUBLE[],
                      (SELECT embedding FROM embeddings WHERE vec_id = 3)::DOUBLE[]) >= 0.25
+        """,
+        "knn_brute_l2": """
+            SELECT vec_id, round(list_distance(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 2)::DOUBLE[]), 6) AS distance
+            FROM embeddings
+            ORDER BY list_distance(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 2)::DOUBLE[]) ASC, vec_id
+            LIMIT 10
+        """,
+        "knn_range_l2": """
+            SELECT vec_id, round(list_distance(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 2)::DOUBLE[]), 6) AS distance
+            FROM embeddings
+            WHERE list_distance(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 2)::DOUBLE[]) <= 1.2
         """,
         "knn_grid_range": """
             SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],

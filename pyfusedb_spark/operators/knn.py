@@ -42,11 +42,35 @@ def _cosine_to_query(vec_col: str, q: list[float]):
     return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
+def _l2_to_query(vec_col: str, q: list[float]):
+    """Euclidean distance, JVM-side (the reference's metric:
+    np.linalg.norm(a-b), app/MultiDim.py:64-65)."""
+    q_arr = F.array(*[F.lit(float(x)) for x in q])
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(vec_col), q_arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k: full scan + TakeOrderedAndProject."""
+    """Exact top-k: full scan + TakeOrderedAndProject. ``metric`` is
+    'cosine' (best = highest) or 'euclidean' (best = lowest, the
+    reference's sequential-KNN semantics, app/MultiDim.py:68-87)."""
+    if metric == "euclidean":
+        return (
+            emb.select(
+                F.col(id_col).cast("long").alias(id_col),
+                _l2_to_query(vec_col, query_vec).alias("distance"),
+            )
+            .orderBy(F.asc("distance"), F.asc(id_col))
+            .limit(k)
+        )
     return (
         emb.select(
             F.col(id_col).cast("long").alias(id_col),
@@ -69,6 +93,22 @@ def range_search(
         )
         .where(F.col("cosine") >= min_cosine)
         .orderBy(F.desc("cosine"), F.asc(id_col))
+    )
+
+
+def range_search_l2(
+    emb: DataFrame, query_vec: list[float], radius: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """M2 euclidean: all vectors within ``radius``, nearest first
+    (reference sequential range search, app/MultiDim.py:90-101)."""
+    return (
+        emb.select(
+            F.col(id_col).cast("long").alias(id_col),
+            _l2_to_query(vec_col, query_vec).alias("distance"),
+        )
+        .where(F.col("distance") <= radius)
+        .orderBy(F.asc("distance"), F.asc(id_col))
     )
 
 
