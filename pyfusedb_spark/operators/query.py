@@ -255,6 +255,10 @@ class FuseIndex:
         ids = np.concatenate(ids_all)
         contribs = np.concatenate(contrib_all)
         dense_n = self._dense_id_bound()
+        if ids.size:
+            # stats can under-report after incremental appends; the
+            # fetched postings are the ground truth for sizing
+            dense_n = max(dense_n, int(ids.max()) + 1)
         if dense_n <= (1 << 26):
             # dense accumulation: doc ids are (near-)dense, so bincount
             # replaces a sort-based unique — the sort dominated hot
@@ -307,6 +311,9 @@ class FuseIndex:
 
     def _norms_vec(self, dense_n: int) -> np.ndarray:
         """Dense doc_id -> norm vector (zero/missing norms -> 1.0)."""
+        cached = getattr(self, "_norms_dense", None)
+        if cached is not None and len(cached) < dense_n:
+            self._norms_dense = None  # id space grew (clamped bound)
         if getattr(self, "_norms_dense", None) is None:
             vec = np.ones(dense_n, dtype=np.float64)
             ser = self._norms()
