@@ -234,6 +234,16 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
         per = np.full(g, micros // g if g else 0, dtype=np.int64)
         if g:
             per[0] += micros - int(per.sum())
+        # pa.binary() offsets are int32: a partition whose concatenated
+        # payload exceeded 2 GiB would wrap silently into a corrupt index.
+        # Cannot happen with default maxRecordsPerBatch/_MAX_RUN sizing,
+        # so fail loudly instead of switching to large_binary.
+        if len(byte_bounds) and int(byte_bounds[-1]) >= (1 << 31):
+            raise ValueError(
+                f"posting payload batch of {int(byte_bounds[-1])} bytes exceeds "
+                "the 2 GiB Arrow binary offset range; lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch or raise n_buckets"
+            )
         payload_arr = pa.Array.from_buffers(
             pa.binary(), g,
             [None, pa.py_buffer(byte_bounds.astype(np.int32).tobytes()),

@@ -226,6 +226,9 @@ def build_index(
 
     ensure_shipped(spark)
     cat = ManifestCatalog(out_dir)
+    # drop staging dirs a killed run left behind: they'd match the
+    # `dir/*/*.parquet` lexicon/stats globs and double-count chunks
+    cat.clean_orphan_staging(out_dir)
     if not resume:
         for key in list(cat.snapshot().get("manifests", {})):
             cat.uncommit(key)
@@ -434,6 +437,18 @@ def build_index(
             f"min(term) AS term_lo, max(term) AS term_hi, "
             f"coalesce(sum(enc_micros),0)::BIGINT AS enc_micros FROM '{final_dir}/*.parquet'"
         )
+        if stat is None:  # no duckdb -> Spark read-back (real-cluster path)
+            stat = (
+                spark.read.parquet(final_dir)
+                .agg(
+                    F.count(F.lit(1)).alias("n_terms"),
+                    F.sum("df_chunk").alias("n_postings"),
+                    F.min("term").alias("term_lo"),
+                    F.max("term").alias("term_hi"),
+                    F.sum("enc_micros").alias("enc_micros"),
+                )
+                .collect()[0]
+            )
         n_postings = int(stat["n_postings"] or 0)
         return {
             "data_dir": final_dir,

@@ -332,3 +332,71 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_duplicates_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    sample_n: int = 4096,
+    seed: int = 17,
+) -> DataFrame:
+    """Scale path for embedding near-dup: IVF-cell-bucketed candidate
+    generation + exact cosine verify. EXACT (recall-lossless) — returns
+    the identical pair set to :func:`embedding_near_duplicates`, proven
+    by sharing its brute-force DuckDB oracle in the driver contract.
+
+    Prune rule (spherical triangle inequality): for x in cell i and y in
+    cell j, angle(x,y) >= angle(c_i,c_j) - r_i - r_j where r_k is cell
+    k's max angular radius — so any UNordered cell pair whose best-case
+    cosine falls below ``threshold`` cannot contain a qualifying pair
+    and is never joined. Work drops from n^2 to
+    sum(|i|*|j| over surviving cell pairs); the join shuffles on the
+    cell key (each side hashed by cell), so at 10^9 vectors each task
+    sees one cell-pair block instead of the whole matrix. Cell radii
+    come from one tiny n_cells-row agg (in a persisted index these stats
+    live beside the cell files, cf. knn.grid_range_search)."""
+    import math
+
+    from pyfusedb_spark.operators import knn
+
+    spark = emb.sparkSession
+    cents = knn.ivf_train(emb, n_cells, sample_n, id_col, vec_col, seed)
+    assigned = knn.ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
+    n = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col("cell"),
+        F.col("cell_cos"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    ).persist()
+    radii = {
+        int(r["cell"]): math.acos(max(-1.0, min(1.0, float(r["mc"]))))
+        for r in n.groupBy("cell").agg(F.min("cell_cos").alias("mc")).collect()
+    }
+    cos_cc = np.clip(cents @ cents.T, -1.0, 1.0)
+    ang_cc = np.arccos(cos_cc)
+    allowed: list[tuple[int, int]] = []
+    cells = sorted(radii)
+    for i in cells:
+        for j in cells:  # both orientations: a<b can sit either way
+            if math.cos(max(0.0, ang_cc[i, j] - radii[i] - radii[j])) >= threshold:
+                allowed.append((i, j))
+    pair_whitelist = spark.createDataFrame(allowed, "cl int, cr int")
+    l, r = n.alias("l"), n.alias("r")
+    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    denom = F.col("l.nrm") * F.col("r.nrm")
+    out = (
+        l.join(F.broadcast(pair_whitelist), F.col("l.cell") == F.col("cl"))
+        .join(r, (F.col("r.cell") == F.col("cr")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return out

@@ -53,7 +53,13 @@ class FuseIndex:
         ensure_shipped(spark)
         self.spark = spark
         self.out_dir = out_dir
-        with open(os.path.join(out_dir, "stats.json")) as f:
+        self._load_stats()
+
+    def _load_stats(self) -> None:
+        path = os.path.join(self.out_dir, "stats.json")
+        st = os.stat(path)
+        self._stats_sig = (st.st_mtime_ns, st.st_size)
+        with open(path) as f:
             self.stats = json.load(f)
         cfg = self.stats["config"]
         self.analyzer = Analyzer(cfg["preset"])
@@ -70,6 +76,23 @@ class FuseIndex:
         # app/InvertedIndex.py:338-340); huge-vocab indexes fall back to
         # pushdown lookups per query
         self._lexicon_cache_max = 2_000_000
+        self._norms_dense = None
+
+    def _refresh_if_stale(self) -> None:
+        """Drop driver-side caches when stats.json changed underneath us.
+
+        A FuseIndex held across streaming/incremental appends
+        (streaming/incremental.py rewrites stats.json per micro-batch)
+        would otherwise keep serving the pyarrow dataset's frozen file
+        listing and the stale lexicon/norms — silently missing every
+        appended posting. One os.stat per search."""
+        path = os.path.join(self.out_dir, "stats.json")
+        try:
+            st = os.stat(path)
+        except OSError:
+            return
+        if (st.st_mtime_ns, st.st_size) != self._stats_sig:
+            self._load_stats()  # also resets _pa_index/_lexicon_pd/_norms caches
 
     # -- lazy DataFrames ----------------------------------------------------
     @property
@@ -94,14 +117,20 @@ class FuseIndex:
     def _fetch_dfs(self, terms: list[str]) -> dict[str, int]:
         if self.stats.get("vocabulary", 0) <= self._lexicon_cache_max:
             if self._lexicon_pd is None:
-                import pyarrow.dataset as pads
+                try:
+                    import pyarrow.dataset as pads
 
-                tbl = pads.dataset(
-                    os.path.join(self.out_dir, "lexicon"), format="parquet"
-                ).to_table(columns=["term", "df"])
-                self._lexicon_pd = dict(
-                    zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
-                )
+                    tbl = pads.dataset(
+                        os.path.join(self.out_dir, "lexicon"), format="parquet"
+                    ).to_table(columns=["term", "df"])
+                    self._lexicon_pd = dict(
+                        zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+                    )
+                except Exception:
+                    # same degradation path as the huge-vocab branch:
+                    # filesystems pyarrow can't reach fall back to Spark
+                    rows = self.lexicon_df.select("term", "df").collect()
+                    self._lexicon_pd = {r["term"]: int(r["df"]) for r in rows}
             return {t: self._lexicon_pd[t] for t in terms if t in self._lexicon_pd}
         # huge-vocab path: per-query pruned lookup (lexicon is written
         # term-sorted with small row groups -> stats pruning), pyarrow
@@ -183,6 +212,7 @@ class FuseIndex:
         numpy-vectorized exhaustive scorer instead — a per-posting Python
         loop can only beat vectorized scoring when it skips almost
         everything. Both paths are rank-identical (tests force each)."""
+        self._refresh_if_stale()
         q_tfs = self._query_terms(query)
         if not q_tfs:
             return []
@@ -338,6 +368,7 @@ class FuseIndex:
 
         Scales to arbitrarily hot terms (nothing term-sized is collected
         to the driver). Returns a DataFrame (doc_id, score)."""
+        self._refresh_if_stale()
         spark = self.spark
         q_tfs = self._query_terms(query)
         if not q_tfs:

@@ -51,10 +51,30 @@ class ManifestCatalog:
 
     @staticmethod
     def promote_dir(staging: str, final_dir: str) -> None:
-        """Atomically move a finished staging dir into place."""
+        """Atomically move a finished staging dir into place (and drop
+        any orphaned sibling stagings from earlier killed attempts —
+        they'd otherwise match `dir/*/*.parquet` globs and double-count)."""
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
         os.replace(staging, final_dir)
+        prefix = os.path.basename(final_dir) + ".tmp-"
+        parent = os.path.dirname(final_dir) or "."
+        for name in os.listdir(parent):
+            if name.startswith(prefix):
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+    @staticmethod
+    def clean_orphan_staging(root: str) -> None:
+        """Remove every `*.tmp-*` staging dir under root (recursive one
+        level into hive dirs). Called on build resume BEFORE any stage
+        reads/aggregates — a killed run's leftovers must not be scanned."""
+        if not os.path.isdir(root):
+            return
+        for dirpath, dirnames, _files in os.walk(root):
+            for d in list(dirnames):
+                if ".tmp-" in d:
+                    shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                    dirnames.remove(d)
 
     # -- manifests ------------------------------------------------------------
     def manifest_path(self, key: str) -> str:

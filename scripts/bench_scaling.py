@@ -25,20 +25,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS_LOG = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 
 
-def _record_run(r: dict, cpus: int, rows: int) -> None:
+def _code_version() -> str:
+    """Engine version tag for run records: best-of-window merging must
+    only mix measurements of the SAME code (a prior engine's numbers
+    silently inflating a newer engine's efficiency was an ADVICE.md
+    finding). Dirty worktrees get a -dirty suffix so they never match."""
+    try:
+        sha = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain",
+             "pyfusedb_spark", "bench.py", "scripts"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{sha}-dirty" if dirty else sha
+    except Exception:
+        return "unknown"
+
+
+def _record_run(r: dict, cpus: int, rows: int, version: str) -> None:
     os.makedirs(os.path.dirname(RUNS_LOG), exist_ok=True)
-    entry = dict(r, cpus=cpus, rows=rows, ts=round(time.time(), 1))
+    entry = dict(r, cpus=cpus, rows=rows, ts=round(time.time(), 1), code=version)
     with open(RUNS_LOG, "a") as f:
         f.write(json.dumps(entry) + "\n")
 
 
-def _best_recorded(cpus: int, rows: int) -> dict | None:
+def _best_recorded(cpus: int, rows: int, version: str) -> dict | None:
     best = None
     try:
         with open(RUNS_LOG) as f:
             for ln in f:
                 e = json.loads(ln)
-                if e.get("cpus") == cpus and e.get("rows") == rows:
+                if (e.get("cpus") == cpus and e.get("rows") == rows
+                        and e.get("code") == version and "dirty" not in version):
                     if best is None or e["synth_docs_per_sec"] > best["synth_docs_per_sec"]:
                         best = e
     except FileNotFoundError:
@@ -121,6 +142,8 @@ def _stage_rows(n_low: int, n_hi: int) -> list:
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
     n_low = int(os.environ.get("SCALING_N", "8"))
+    version = _code_version()
+    print(f"engine version tag: {version}", file=sys.stderr)
     hw = calibrate_hardware()
     print(f"hardware raw-CPU throughput: {hw}", file=sys.stderr)
     n_hi = n_low * 4
@@ -135,14 +158,14 @@ def main() -> None:
             r = run_level(cpus, rows)
             print(f"[rep {rep}] local[{cpus}]: {r['synth_docs_per_sec']} docs/s "
                   f"({time.time()-t0:.0f}s wall)", file=sys.stderr)
-            _record_run(r, cpus, rows)
+            _record_run(r, cpus, rows, version)
             if cpus not in results or r["synth_docs_per_sec"] > results[cpus]["synth_docs_per_sec"]:
                 results[cpus] = r
-    # merge with prior recorded windows (same code may have been measured
-    # in a quieter window earlier; co-tenant load comes in waves and hits
-    # the 4N level hardest — it needs ALL cores free)
+    # merge with prior recorded windows of the SAME code version (co-
+    # tenant load comes in waves and hits the 4N level hardest — it
+    # needs ALL cores free)
     for cpus in (n_low, n_hi):
-        best = _best_recorded(cpus, rows)
+        best = _best_recorded(cpus, rows, version)
         if best and best["synth_docs_per_sec"] > results[cpus]["synth_docs_per_sec"]:
             results[cpus] = best
 
