@@ -67,6 +67,21 @@ def _hash_strings(strings: list[str]) -> np.ndarray:
     return out
 
 
+def _sha64_strings(strings: list[str]) -> np.ndarray:
+    """Full-64-bit hash = big-endian first 8 bytes of sha256(utf-8).
+
+    Used by simhash so the whole operator is expressible in ANSI-ish SQL
+    for the driver oracle: DuckDB's
+    ``('0x' || substring(sha256(t), 1, 16))::UBIGINT`` produces the
+    identical integer."""
+    from hashlib import sha256
+
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(sha256(s.encode("utf-8")).digest()[:8], "big")
+    return out
+
+
 def _shingle_hashes(text: str, analyzer: Analyzer, k: int) -> np.ndarray:
     toks = analyzer.tokenize(text or "")
     if len(toks) < k:
@@ -233,7 +248,9 @@ def minhash_near_duplicates(
 # --------------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str, id_col: str, preset: str = "simple") -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash of tf-weighted token hashes."""
+    """(doc_id, simhash: long) — 64-bit SimHash of tf-weighted token
+    hashes (sha256-prefix hash, see _sha64_strings: deterministic AND
+    reproducible in SQL, so the driver oracle checks this bit-for-bit)."""
     from pyfusedb_spark.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -254,7 +271,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, preset: str = "simple") -
                 if not tfs:
                     rows.append((int(doc_id), 0))
                     continue
-                hs = _hash_strings(list(tfs.keys()))
+                hs = _sha64_strings(list(tfs.keys()))
                 w = np.fromiter(tfs.values(), dtype=np.float64, count=len(tfs))
                 bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.float64)
                 acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)

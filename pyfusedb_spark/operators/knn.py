@@ -29,8 +29,38 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Above this dimensionality the per-element F.lit literal arrays stop
+# being a good idea: the Catalyst plan grows one expression node per
+# element (2048-d ResNet embeddings -> thousands of nodes, codegen
+# fallback risk), so the expression builders below switch to ONE
+# Arrow-batched pandas UDF doing a broadcast matmul instead. Small dims
+# stay JVM-side where whole-stage codegen wins.
+_LITERAL_DIM_MAX = 256
+
+
+def _batch_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
+    if len(vecs) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    return np.asarray(vecs.tolist(), dtype=np.float64)
+
+
 def _cosine_to_query(vec_col: str, q: list[float]):
     qn = float(np.sqrt(np.dot(q, q)))
+    if len(q) > _LITERAL_DIM_MAX:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        qv = np.asarray(q, dtype=np.float64)
+
+        @pandas_udf("double")
+        def cos_udf(vecs: pd.Series) -> pd.Series:
+            x = _batch_matrix(vecs, len(qv))
+            nrm = np.linalg.norm(x, axis=1) * qn
+            dots = x @ qv
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(nrm > 0, dots / nrm, 0.0)
+            return pd.Series(out)
+
+        return cos_udf(F.col(vec_col))
     q_arr = F.array(*[F.lit(float(x)) for x in q])
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), q_arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -43,8 +73,20 @@ def _cosine_to_query(vec_col: str, q: list[float]):
 
 
 def _l2_to_query(vec_col: str, q: list[float]):
-    """Euclidean distance, JVM-side (the reference's metric:
-    np.linalg.norm(a-b), app/MultiDim.py:64-65)."""
+    """Euclidean distance (the reference's metric:
+    np.linalg.norm(a-b), app/MultiDim.py:64-65). JVM-side at small dim,
+    Arrow-batched numpy at high dim (see _LITERAL_DIM_MAX)."""
+    if len(q) > _LITERAL_DIM_MAX:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        qv = np.asarray(q, dtype=np.float64)
+
+        @pandas_udf("double")
+        def l2_udf(vecs: pd.Series) -> pd.Series:
+            x = _batch_matrix(vecs, len(qv))
+            return pd.Series(np.linalg.norm(x - qv[None, :], axis=1))
+
+        return l2_udf(F.col(vec_col))
     q_arr = F.array(*[F.lit(float(x)) for x in q])
     return F.sqrt(
         F.aggregate(
@@ -152,16 +194,29 @@ def lsh_signatures(
     emb: DataFrame, dim: int, n_planes: int = 12,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 13,
 ) -> DataFrame:
-    """(id, sig int, embedding) — sign pattern over random hyperplanes,
-    computed with built-in expressions (planes inlined as literals)."""
+    """(id, embedding, sig int) — sign pattern over random hyperplanes.
+
+    ONE Arrow-batched pandas UDF doing a broadcast (n_planes x dim)
+    matmul per batch — the earlier per-element literal-array expressions
+    put n_planes*dim nodes into the Catalyst plan (~33k at 2048-d x 16
+    planes: plan bloat + codegen risk, flagged in round-1 review). The
+    matmul path is also what survives the reference's real 2048-d
+    ResNet50 dimensionality (app/MultiDim.py:53-61)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0)
-    for i in range(n_planes):
-        arr = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
-                          F.lit(0.0), lambda a, x: a + x)
-        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return emb.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col), sig.alias("sig"))
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig_of(vecs: pd.Series) -> pd.Series:
+        x = _batch_matrix(vecs, dim)
+        bits = (x @ bc.value.T) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col), sig_of(F.col(vec_col)).alias("sig")
+    )
 
 
 def lsh_ann_topk(
@@ -293,6 +348,149 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index: cell-partitioned parquet, probes prune directories
+# --------------------------------------------------------------------------
+
+class PersistedIVF:
+    """IVF ANN index at rest: vectors stored partitioned by cell (hive
+    dirs ``cell=K/``) plus a JSON sidecar with centroids and per-cell
+    angular radii. A probe query filters ``cell IN (probes)`` which
+    Catalyst turns into PartitionFilters — only nprobe directories are
+    listed/read (file-level pruning, the distributed substitute for the
+    reference's in-process FAISS HNSW, app/MultiDim.py:152-165).
+
+    Train once / probe many: round-1 review flagged that entries re-ran
+    ``ivf_train`` per query; this class is the fix (build -> sidecar ->
+    cheap open)."""
+
+    def __init__(self, spark, out_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import json
+        import os
+
+        self.spark = spark
+        self.out_dir = out_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        with open(os.path.join(out_dir, "ivf.json")) as f:
+            meta = json.load(f)
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self.radii = {int(k): float(v) for k, v in meta["radii"].items()}
+
+    @property
+    def cells_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/cells")
+
+    @staticmethod
+    def build(
+        emb: DataFrame, out_dir: str, nlist: int = 16, sample_n: int = 4096,
+        id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 17,
+    ) -> "PersistedIVF":
+        import json
+        import os
+
+        spark = emb.sparkSession
+        cents = ivf_train(emb, nlist, sample_n, id_col, vec_col, seed)
+        assigned = ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{out_dir}/cells")
+        radii = {
+            int(r["cell"]): math.acos(max(-1.0, min(1.0, float(r["mc"]))))
+            for r in spark.read.parquet(f"{out_dir}/cells")
+            .groupBy("cell").agg(F.min("cell_cos").alias("mc")).collect()
+        }
+        tmp = os.path.join(out_dir, "ivf.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"centroids": cents.tolist(), "radii": radii, "nlist": len(cents)}, f)
+        os.replace(tmp, os.path.join(out_dir, "ivf.json"))
+        return PersistedIVF(spark, out_dir, id_col, vec_col)
+
+    def _cell_bounds(self, query_vec: list[float]) -> dict[int, float]:
+        """Per-cell best-case cosine: cos(max(0, ang(q,c) - r_c)) — no
+        vector in cell c can beat this (spherical triangle inequality)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        ang_qc = np.arccos(np.clip(self.centroids @ qn, -1.0, 1.0))
+        return {
+            c: math.cos(max(0.0, ang_qc[c] - r)) for c, r in self.radii.items()
+        }
+
+    def _probe_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
+        # probe in best-case-bound order (not raw centroid similarity):
+        # a wide cell near the query can hold better neighbours than a
+        # tight cell whose centroid is marginally closer
+        bounds = self._cell_bounds(query_vec)
+        order = sorted(bounds, key=lambda c: -bounds[c])
+        return order[:nprobe]
+
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        """ANN top-k scanning only the nprobe nearest cell directories."""
+        cand = self.cells_df.where(F.col("cell").isin(self._probe_cells(query_vec, nprobe)))
+        return (
+            cand.select(
+                F.col(self.id_col), _cosine_to_query(self.vec_col, query_vec).alias("cosine")
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+    def topk_exact(self, query_vec: list[float], k: int = 10, first_probe: int = 1) -> DataFrame:
+        """EXACT top-k with adaptive cell pruning (two-phase best-first):
+
+        1. scan the ``first_probe`` best-bound cells, collect the k-th
+           best exact cosine found there (one small Spark job);
+        2. scan every remaining cell whose best-case bound beats that
+           score — by the triangle inequality no pruned cell can hold a
+           top-k vector, so the result is identical to the full scan
+           (shared DuckDB oracle proves it in the driver contract).
+
+        Cells pruned in phase 2 are whole unread directories. On tightly
+        clustered corpora phase 2 degenerates to nothing; on uniform
+        corpora it gracefully widens to the full scan — never wrong,
+        pruning scales with how clusterable the data actually is. The
+        scanned-cell fraction is reported in BENCH."""
+        bounds = self._cell_bounds(query_vec)
+        order = sorted(bounds, key=lambda c: -bounds[c])
+        seed_cells = order[:first_probe]
+        seed = (
+            self.cells_df.where(F.col("cell").isin(seed_cells))
+            .select(F.col(self.id_col), _cosine_to_query(self.vec_col, query_vec).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+            .collect()
+        )
+        kth = seed[k - 1]["cosine"] if len(seed) >= k else -1.0
+        rest = [c for c in order[first_probe:] if bounds[c] >= kth]
+        self.last_scanned_cells = len(seed_cells) + len(rest)
+        cand = self.cells_df.where(F.col("cell").isin(seed_cells + rest))
+        return (
+            cand.select(
+                F.col(self.id_col), _cosine_to_query(self.vec_col, query_vec).alias("cosine")
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+    def range_search(self, query_vec: list[float], min_cosine: float) -> DataFrame:
+        """EXACT range search with lossless cell pruning from the stored
+        radii (same spherical bound as grid_range_search, but against the
+        at-rest partition layout: skipped cells are skipped directories)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        ang_qc = np.arccos(np.clip(self.centroids @ qn, -1.0, 1.0))
+        keep = [
+            c for c, r_max in self.radii.items()
+            if math.cos(max(0.0, ang_qc[c] - r_max)) >= min_cosine
+        ]
+        cand = self.cells_df.where(F.col("cell").isin(keep))
+        return (
+            cand.select(
+                F.col(self.id_col), _cosine_to_query(self.vec_col, query_vec).alias("cosine")
+            )
+            .where(F.col("cosine") >= min_cosine)
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+        )
 
 
 # --------------------------------------------------------------------------

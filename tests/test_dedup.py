@@ -73,3 +73,22 @@ def test_lsh_candidates_cover_true_jaccard_pairs(docs_df):
     sigs = dedup.minhash_signatures(docs_df.where(F.col("doc_id") < 5), "text", "doc_id")
     cand = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(sigs, bands=16).collect()}
     assert {(0, 1), (0, 2), (1, 2)} <= cand
+
+
+def test_embedding_near_duplicates_bucketed_equals_brute(spark):
+    """The IVF-cell-bucketed scale path must return the identical pair
+    set to the O(n^2) brute force (lossless spherical-cap prune)."""
+    rng = __import__("numpy").random.default_rng(11)
+    vecs = [(i, [float(v) for v in rng.standard_normal(16)]) for i in range(120)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    brute = sorted(
+        (r["a"], r["b"], round(r["cosine"], 9))
+        for r in dedup.embedding_near_duplicates(emb, threshold=0.4).collect()
+    )
+    bucketed = sorted(
+        (r["a"], r["b"], round(r["cosine"], 9))
+        for r in dedup.embedding_near_duplicates_bucketed(
+            emb, threshold=0.4, n_cells=6, sample_n=120
+        ).collect()
+    )
+    assert brute == bucketed and len(brute) > 0

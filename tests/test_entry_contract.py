@@ -46,10 +46,9 @@ def test_every_query_has_callable_and_most_have_oracles():
     missing = [k for k in ORACLES if k not in ALL]
     assert not missing, f"oracle without query: {missing}"
     no_oracle = [k for k in ALL if k not in ORACLES]
-    # only the declared rows-only ops may omit an oracle
-    assert set(no_oracle) <= {
-        "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs", "ann_lsh", "ann_ivf_probe",
-    }
+    # only the declared rows-only ops may omit an oracle (ft_bm25_stemmed
+    # self-verifies against pyfusedb_spark.oracle inside the entry)
+    assert set(no_oracle) <= {"ft_bm25_stemmed"}
 
 
 @pytest.mark.parametrize("name", ALL)
@@ -58,9 +57,7 @@ def test_query_vs_oracle(spark, con, name):
     got = fn(spark, SF).toPandas()
     assert got is not None
     if name not in ORACLES:
-        assert len(got) > 0 or name in (
-            "dedup_minhash", "dedup_simhash_pairs",
-        ), f"{name}: rows-only check empty"
+        assert len(got) > 0, f"{name}: rows-only check empty"
         return
     expect = con.sql(ORACLES[name]).df()
     g, e = _normalize(got), _normalize(expect)
