@@ -569,6 +569,7 @@ def build_index(
         ),
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "total_len": m_stats["total_len"],
         "bucket_span": bucket_span,
         "vocabulary": m_lex["vocabulary"],
         "n_postings": m_lex["n_postings"],

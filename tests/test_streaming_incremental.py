@@ -81,3 +81,65 @@ def test_incremental_via_real_stream(spark, tmp_path):
         expect = oracle.search_bm25(q, 10)
         assert [d for d, _ in got] == [d for d, _ in expect], q
         np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+
+def test_refresh_reads_only_new_batch_and_lexicon(spark, tmp_path):
+    """Scale property (round-2): the per-batch global refresh must read
+    ONLY the new batch's chunk files + the current lexicon — never the
+    previously committed index buckets (the old implementation re-
+    aggregated the whole index every micro-batch)."""
+    out = str(tmp_path / "inc_idx2")
+    writer = IncrementalIndexWriter(spark, out, config=CFG)
+    half = len(PANGRAMS) // 2
+    writer.process_batch(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(PANGRAMS[:half])], "doc_id long, content string"
+        ),
+        0,
+    )
+    writer.process_batch(
+        spark.createDataFrame(
+            [(i + half, c) for i, c in enumerate(PANGRAMS[half:])],
+            "doc_id long, content string",
+        ),
+        1,
+    )
+    read = writer.last_refresh_input_files
+    assert read, "refresh recorded no inputs"
+    batch1_dir = os.path.join(out, "index", "bucket=1000001")
+    lex_dir = os.path.join(out, "lexicon")
+    for f in read:
+        p = f.split("://", 1)[-1]
+        assert p.startswith(batch1_dir) or p.startswith(lex_dir), f
+    assert not any(f.split("://", 1)[-1].startswith(os.path.join(out, "index", "bucket=1000000"))
+                   for f in read)
+
+
+def test_held_index_sees_appended_batches(spark, tmp_path):
+    """ADVICE round-1: a FuseIndex held open across incremental appends
+    must not serve stale results (pyarrow dataset file listing + lexicon
+    caches are invalidated when stats.json changes)."""
+    out = str(tmp_path / "inc_idx3")
+    writer = IncrementalIndexWriter(spark, out, config=CFG)
+    half = len(PANGRAMS) // 2
+    writer.process_batch(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(PANGRAMS[:half])], "doc_id long, content string"
+        ),
+        0,
+    )
+    idx = FuseIndex(spark, out)
+    n_before = len(idx.search("quick", 20))
+    writer.process_batch(
+        spark.createDataFrame(
+            [(i + half, c) for i, c in enumerate(PANGRAMS[half:])],
+            "doc_id long, content string",
+        ),
+        1,
+    )
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    got = idx.search("quick", 20)  # SAME handle, after append
+    expect = oracle.search_bm25("quick", 20)
+    assert len(got) > n_before
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
