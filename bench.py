@@ -123,6 +123,22 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     extras["synth_bm25_p95_sec"] = round(lats[max(0, int(len(lats) * 0.95) - 1)], 4)
     timings["q_synth_bm25_set"] = round(sum(lats), 4)
 
+    # WAND vs exhaustive on a hot+selective mix (the shape where
+    # block-max skipping wins), plus the pruning counters proving it
+    from pyfusedb_spark.sources.corpus import mid_vocab_sample
+    wq = f"return {mid_vocab_sample(13)} {mid_vocab_sample(250)}"
+    timings["q_wand"] = _med(lambda: sidx.search(wq, 10, use_wand=True), n=5)
+    st = sidx.last_search_stats or {}
+    timings["q_exhaustive_same"] = _med(lambda: sidx.search(wq, 10, use_wand=False), n=5)
+    sidx.search(wq, 10, use_wand="auto")
+    extras["wand_query"] = wq
+    extras["wand_speedup"] = round(timings["q_exhaustive_same"] / timings["q_wand"], 2) \
+        if timings["q_wand"] else None
+    extras["wand_blocks_skipped"] = st.get("blocks_skipped")
+    extras["wand_blocks_total"] = st.get("blocks_total")
+    extras["wand_postings_total"] = st.get("postings_total")
+    extras["wand_auto_picked"] = (sidx.last_search_stats or {}).get("path")
+
 
 def _emit(timings: dict, extras: dict, sf_dir: str, cpus: int, n_docs: int) -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -229,10 +245,34 @@ def main() -> None:
     dedup.exact_duplicates(docs, "text", "doc_id").count()
     timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    n_pairs_b = dedup.embedding_near_duplicates_bucketed(emb, threshold=0.35).count()
+    timings["dedup_embedding_bucketed"] = round(time.perf_counter() - t0, 3)
+    extras["embedding_dedup_pairs"] = n_pairs_b
+
     qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
     t0 = time.perf_counter()
     knn.brute_force_topk(emb, list(qv), 10).collect()
     timings["knn_brute"] = round(time.perf_counter() - t0, 3)
+
+    # persisted cell-partitioned IVF: build once (untimed), then probe
+    # latency + recall of the pruned probe vs the exact scan
+    ivf_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_ivf_{cpus}")
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    ivf = knn.PersistedIVF.build(emb, ivf_dir, nlist=8, sample_n=512)
+    qv1 = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    exact_ids = {r["vec_id"] for r in knn.brute_force_topk(emb, qv1, 10).collect()}
+    timings["ann_ivf_probe"] = _med(lambda: ivf.topk(qv1, 10, nprobe=6).collect(), n=3)
+    probe_ids = {r["vec_id"] for r in ivf.topk(qv1, 10, nprobe=6).collect()}
+    extras["ivf_probe_recall_at_10"] = round(len(probe_ids & exact_ids) / 10, 2)
+    timings["ann_ivf_adaptive"] = _med(lambda: ivf.topk_exact(qv1, 10).collect(), n=3)
+    extras["ivf_adaptive_scanned_cells"] = ivf.last_scanned_cells
+    lsh_ids = {
+        r["vec_id"]
+        for r in knn.lsh_ann_topk(emb, qv, 10, n_planes=16, max_hamming=8).collect()
+    }
+    exact0 = {r["vec_id"] for r in knn.brute_force_topk(emb, list(qv), 10).collect()}
+    extras["lsh_recall_at_10_mh8"] = round(len(lsh_ids & exact0) / 10, 2)
 
     t0 = time.perf_counter()
     textstats.text_profile(docs, "text", "doc_id").write.format("noop").mode("overwrite").save()

@@ -47,6 +47,8 @@ RESULT_SCHEMA = T.StructType(
 class FuseIndex:
     """Handle to a built index directory (see operators.build)."""
 
+    last_search_stats: dict | None = None  # pruning telemetry of last search()
+
     def __init__(self, spark: SparkSession, out_dir: str):
         from pyfusedb_spark.shipping import ensure_shipped
 
@@ -241,8 +243,26 @@ class FuseIndex:
                 sub = chunks[chunks["term"] == term]
                 qw = float(q_tfs[term]) * bm25_idf(dfs[term], self.n_docs)
                 cursors.append(TermCursor(sub, qw, self.k1, self.b, self.avgdl, self.block_size))
-            return wand_topk(cursors, top_k)
-        return self._exhaustive(chunks, terms, q_tfs, dfs, top_k, mode, conjunctive)
+            out = wand_topk(cursors, top_k)
+            total_blocks = sum(c.n_blocks for c in cursors)
+            decoded = sum(c.blocks_decoded for c in cursors)
+            self.last_search_stats = {
+                "path": "wand",
+                "postings_total": sum(c.df_total for c in cursors),
+                "blocks_total": total_blocks,
+                "blocks_decoded": decoded,
+                "blocks_skipped": total_blocks - decoded,
+                # decoded blocks hold <= block_size postings each: upper
+                # bound on postings actually examined
+                "postings_touched_max": decoded * self.block_size,
+            }
+            return out
+        out = self._exhaustive(chunks, terms, q_tfs, dfs, top_k, mode, conjunctive)
+        self.last_search_stats = {
+            "path": "exhaustive",
+            "postings_total": int(sum(dfs[t] for t in terms)),
+        }
+        return out
 
     def _exhaustive(
         self,
@@ -441,6 +461,7 @@ class TermCursor:
         "qw", "k1", "b", "avgdl", "block_size", "chunks", "flat_last",
         "flat_first", "flat_max", "flat_chunk", "flat_local", "n_blocks",
         "blk", "idx", "cur_doc", "_docs", "_tfs", "_dls", "max_score",
+        "blocks_decoded", "df_total",
     )
 
     def __init__(self, chunk_rows: pd.DataFrame, qw: float, k1: float, b: float, avgdl: float, block_size: int):
@@ -466,6 +487,8 @@ class TermCursor:
         self.flat_local = np.concatenate(flat_local) if flat_local else np.zeros(0, np.int64)
         self.n_blocks = len(self.flat_last)
         self.max_score = qw * float(self.flat_max.max()) if self.n_blocks else 0.0
+        self.blocks_decoded = 0
+        self.df_total = int(sum(c[2] for c in self.chunks))
         self.blk = -1
         self.idx = 0
         self._docs = self._tfs = self._dls = None
@@ -477,6 +500,7 @@ class TermCursor:
 
     def _load_block(self, blk: int) -> None:
         self.blk = blk
+        self.blocks_decoded += 1
         ci = int(self.flat_chunk[blk])
         lj = int(self.flat_local[blk])
         payload, offsets, n_postings = self.chunks[ci]
