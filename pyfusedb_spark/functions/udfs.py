@@ -158,16 +158,29 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
 def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
     """mapInArrow fn merging packed runs into encoded chunks.
 
-    Input: PACKED_TF_SCHEMA batches sorted by (term, bucket) within the
-    partition (runs of one group adjacent, internal order arbitrary).
+    Input: PACKED_TF_SCHEMA batches in ARBITRARY row order within the
+    partition (the build no longer pays a JVM sortWithinPartitions on
+    rows carrying fat array payloads — round-2 scaling work: the posting
+    shuffle's reduce-side sort was the stage's scaling bottleneck).
+    Grouping happens here instead, at Arrow/numpy speed: the term column
+    is dictionary-encoded (C-speed hash), only the UNIQUE terms are
+    string-sorted (|vocab_partition| << |rows|), and postings get ONE
+    integer lexsort by (group_rank, doc_id). Output rows remain sorted
+    by (term, bucket) so parquet row-group min/max stats stay tight for
+    query-side pruning — identical on-disk layout to the sorted-input
+    encoder.
+
     Operates on Arrow buffers directly — flat value arrays via
     ``ListArray.flatten()`` / ``value_lengths()``, output payloads as ONE
     zero-copy binary buffer. A pandas round-trip here materialized ~12M
     per-cell numpy arrays per build and dominated the stage wall.
 
-    Flat merge: ONE integer lexsort by (group, doc_id) — the reference's
-    k-way heap merge (app/InvertedIndexFinal.py:287-346), distributed —
-    then codec.encode_postings_multi for every group at once."""
+    Flat merge: the integer lexsort is the reference's k-way heap merge
+    (app/InvertedIndexFinal.py:287-346), distributed — then
+    codec.encode_postings_multi for every group at once.
+
+    Memory: materializes one shuffle partition's packed runs (bounded by
+    n_shuffle sizing — see operators/build.py scale notes)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -194,26 +207,45 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
         term_arr = batch.column("term")
-        bucket_np = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket_np = np.asarray(batch.column("bucket").to_numpy(zero_copy_only=False), dtype=np.int64)
         docs_la = batch.column("docs")
         tfs_la = batch.column("tfs")
         dls_la = batch.column("dls")
-        n_rows = batch.num_rows
-        run_lens = pc.list_value_length(docs_la).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat_d = docs_la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        flat_t = tfs_la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        flat_l = dls_la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        newg_row = np.empty(n_rows, dtype=bool)
-        newg_row[0] = True
-        if n_rows > 1:
-            tchg = pc.not_equal(
-                term_arr.slice(1), term_arr.slice(0, n_rows - 1)
-            ).to_numpy(zero_copy_only=False)
-            newg_row[1:] = tchg | (bucket_np[1:] != bucket_np[:-1])
-        grow = np.flatnonzero(newg_row)
-        gid_post = np.repeat(np.cumsum(newg_row) - 1, run_lens)
-        order = np.lexsort((flat_d, gid_post))
+        # views where possible — .astype copies unconditionally, and at
+        # 32 threads on one memory controller the encoder is bandwidth-
+        # bound (measured: per-core CPU inflates 1.75x going 8->32)
+        run_lens = np.asarray(pc.list_value_length(docs_la).to_numpy(zero_copy_only=False))
+        flat_d = np.asarray(docs_la.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+        flat_t = np.asarray(tfs_la.flatten().to_numpy(zero_copy_only=False))
+        flat_l = np.asarray(dls_la.flatten().to_numpy(zero_copy_only=False))
+        # group rows by (term, bucket) WITHOUT requiring sorted input:
+        # dictionary-encode terms (hash, C speed), sort only the unique
+        # strings, rank rows, then one integer sort over group keys.
+        dict_arr = pc.dictionary_encode(
+            term_arr.combine_chunks() if hasattr(term_arr, "combine_chunks") else term_arr
+        )
+        codes = np.asarray(dict_arr.indices.to_numpy(zero_copy_only=False))
+        uniq_terms = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+        order_u = np.argsort(uniq_terms, kind="stable")
+        rank_u = np.empty(len(uniq_terms), dtype=np.int64)
+        rank_u[order_u] = np.arange(len(uniq_terms))
+        uniq_sorted = uniq_terms[order_u]
+        kb = int(bucket_np.max()) + 1 if len(bucket_np) else 1
+        g_key = rank_u[codes] * kb + bucket_np  # ascending == (term, bucket) asc
+        g_sorted, g_first_row = np.unique(g_key, return_index=True)
+        gidx_row = np.searchsorted(g_sorted, g_key)
+        grow = g_first_row  # one representative row per group (for bucket col)
+        gid_post = np.repeat(gidx_row, run_lens)
+        maxd = int(flat_d.max()) if flat_d.size else 0
+        if len(g_sorted) * (maxd + 1) < (1 << 62):
+            # one combined integer key -> single sort pass (duplicate
+            # (group, doc) keys are interchangeable: tf of dups is summed
+            # below and dl is per-doc constant, so unstable sort is fine)
+            order = np.argsort(gid_post * (maxd + 1) + flat_d)
+        else:
+            order = np.lexsort((flat_d, gid_post))
         d2, t2, l2, g2 = flat_d[order], flat_t[order], flat_l[order], gid_post[order]
+        group_terms = uniq_sorted[g_sorted // kb]
         npost = len(d2)
         newp = np.empty(npost, dtype=bool)
         newp[0] = True
@@ -258,7 +290,7 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
         cols = [
             pa.array(bucket_np[grow].astype(np.int32), type=pa.int32()),
             pa.array(np.full(g, pid, dtype=np.int32), type=pa.int32()),
-            pc.take(term_arr, pa.array(grow, type=pa.int64())),
+            pa.array(group_terms, type=pa.string()),
             pa.array(enc["df_chunk"], type=pa.int64()),
             pa.array(enc["sum_tf"], type=pa.int64()),
             payload_arr,
@@ -271,36 +303,19 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
         ]
         return pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
-    def _concat(a: "pa.RecordBatch", b: "pa.RecordBatch") -> "pa.RecordBatch":
-        cols = [
-            pa.concat_arrays([pa.Array.from_pandas(x) if not isinstance(x, pa.Array) else x
-                              for x in (a.column(i), b.column(i))])
-            for i in range(a.num_columns)
-        ]
-        return pa.RecordBatch.from_arrays(cols, schema=a.schema)
-
     def mapper(batches):
-        leftover = None
-        for batch in batches:
-            if leftover is not None and leftover.num_rows:
-                batch = _concat(leftover, batch)
-                leftover = None
-            n = batch.num_rows
-            if not n:
-                continue
-            # hold back the (possibly incomplete) last (term,bucket) group
-            term_arr = batch.column("term")
-            bucket_np = batch.column("bucket").to_numpy(zero_copy_only=False)
-            cut = n - 1
-            last_t = term_arr[n - 1]
-            last_b = bucket_np[n - 1]
-            while cut > 0 and bucket_np[cut - 1] == last_b and term_arr[cut - 1] == last_t:
-                cut -= 1
-            leftover = batch.slice(cut)
-            if cut:
-                yield encode_batch(batch.slice(0, cut))
-        if leftover is not None and leftover.num_rows:
-            yield encode_batch(leftover)
+        # materialize the partition's packed runs and encode in ONE pass:
+        # grouping no longer needs runs of a term adjacent (see encode_
+        # batch), so there is no carry-over bookkeeping and no upstream
+        # JVM row sort. Partition size is bounded by n_shuffle sizing.
+        collected = [b for b in batches if b.num_rows]
+        if not collected:
+            return
+        if len(collected) == 1:
+            yield encode_batch(collected[0])
+            return
+        tbl = pa.Table.from_batches(collected).combine_chunks()
+        yield encode_batch(tbl.to_batches()[0])
 
     return mapper
 

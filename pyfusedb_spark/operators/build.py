@@ -380,11 +380,13 @@ def build_index(
         # ~32MB read amp per hot lookup at 1M docs). The range sampler
         # scans packed runs (~20x fewer rows than raw postings), so its
         # extra pass is cheap now
+        # no sortWithinPartitions: the encoder groups by dictionary-
+        # encode + integer sort (Arrow/numpy) — the JVM row sort over fat
+        # array payloads was the posting stage's scaling bottleneck
         chunks = (
             tf_k.select("term", F.col("bucket").cast("int").alias("bucket"),
                         "docs", "tfs", "dls")
             .repartitionByRange(n_shuffle, "term")
-            .sortWithinPartitions("term")
             .mapInArrow(encoder, CHUNK_SCHEMA_BUCKETED)
             .drop("bucket")  # bucket is the hive dir here
         )
@@ -474,7 +476,6 @@ def build_index(
                     "docs", "tfs", "dls",
                 )
                 .repartitionByRange(n_shuffle, "term", "bucket")
-                .sortWithinPartitions("term", "bucket")
                 .mapInArrow(encoder, CHUNK_SCHEMA_BUCKETED)
             )
             staging = cat.staging_dir(idx_dir)
