@@ -653,7 +653,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bytes", "magic", "sha256"
         )
 
-    q.update(mm_binary_meta=mm_binary_meta, mm_binaryfile_scan=mm_binaryfile_scan)
+    def mm_feature_hist(spark, sf):
+        # M5 feature extraction, non-stub tier: deterministic char-
+        # histogram features over binary payloads (long format so DuckDB
+        # recomputes it exactly); model-based embeddings remain gated on
+        # torch/PIL which this container lacks
+        binary = multimodal.attach_fake_binary(
+            _docs(spark, sf).where(F.col("doc_id") < 50), "text", "doc_id"
+        )
+        out = multimodal.extract_char_histogram(binary)
+        return out.select("doc_id", "ch", F.round("freq", 6).alias("freq"))
+
+    q.update(mm_binary_meta=mm_binary_meta, mm_binaryfile_scan=mm_binaryfile_scan,
+             mm_feature_hist=mm_feature_hist)
 
     # ---- relational coverage (Catalyst-built-ins; TPC-H-ish) ----
     def rel_pricing_summary(spark, sf):
@@ -848,6 +860,20 @@ def oracle_sql() -> dict[str, str]:
                    lower(substring(hex(encode('FAKE')), 1, 8)) AS magic,
                    sha256('FAKEIMG1' || text) AS sha256
             FROM documents WHERE doc_id < 50
+        """,
+        "mm_feature_hist": """
+            WITH chars AS (
+              SELECT unnest(string_split('a,b,c,d,e,f,g,h,i,j,k,l,m,n,o,p,q,r,s,t,u,v,w,x,y,z,0,1,2,3,4,5,6,7,8,9', ',')) AS ch
+            ),
+            cnt AS (
+              SELECT d.doc_id, c.ch,
+                     (length(d.text) - length(replace(d.text, c.ch, '')))::DOUBLE AS n
+              FROM documents d CROSS JOIN chars c
+              WHERE d.doc_id < 50
+            ),
+            tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1)
+            SELECT cnt.doc_id, ch, round(n / t, 6) AS freq
+            FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id WHERE n > 0
         """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -54,8 +54,15 @@ def decode_image_meta(binary_df: DataFrame, payload_col: str = "payload") -> Dat
     available."""
 
     def _fake_decode(payload: bytes) -> tuple[int, int]:
-        # STUB: deterministic stand-in for an image decode. A real build
-        # would do: from PIL import Image; Image.open(io.BytesIO(payload)).size
+        # REAL decode for PNG headers (stdlib-only: IHDR width/height are
+        # big-endian uint32 at bytes 16..24 — no PIL needed); every other
+        # format gets the deterministic STUB stand-in. A full build would
+        # route non-PNG through PIL/libvips here.
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            return (
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
         h = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
         return 320 + h % 1600, 240 + (h >> 8) % 900
 
@@ -82,6 +89,57 @@ def decode_image_meta(binary_df: DataFrame, payload_col: str = "payload") -> Dat
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return binary_df.mapInPandas(mapper, IMAGE_META_SCHEMA)
+
+
+_HIST_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+FEATURE_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ch", T.StringType(), False),
+        T.StructField("freq", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_char_histogram(binary_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL (non-stub) deterministic feature extraction over binary
+    payloads: normalized [a-z0-9] character histogram of the payload
+    bytes — the cheap content-signature tier of a media featurizer
+    (model-based embeddings stay gated in :func:`extract_features`).
+    Long format (doc_id, ch, freq) so the driver's DuckDB oracle can
+    recompute it in SQL; zero-frequency bins are omitted.
+
+    Same Arrow/mapInPandas shape a ResNet batch-inference UDF would use
+    (reference ``app/MultiDim.py:53-61``): payload bytes in, per-doc
+    feature rows out, vectorized per batch."""
+    import numpy as np
+
+    from pyfusedb_spark.shipping import ensure_shipped
+
+    ensure_shipped(binary_df.sparkSession)
+    lut = np.full(256, -1, dtype=np.int64)
+    for i, c in enumerate(_HIST_CHARS):
+        lut[ord(c)] = i
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, freqs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"].tolist(), pdf[payload_col].tolist()):
+                b = np.frombuffer(bytes(payload) if payload is not None else b"", dtype=np.uint8)
+                bins = lut[b]
+                bins = bins[bins >= 0]
+                if bins.size == 0:
+                    continue
+                counts = np.bincount(bins, minlength=len(_HIST_CHARS))
+                nz = np.flatnonzero(counts)
+                total = float(counts.sum())
+                ids.extend([int(doc_id)] * len(nz))
+                chs.extend(_HIST_CHARS[i] for i in nz)
+                freqs.extend((counts[nz] / total).tolist())
+            yield pd.DataFrame({"doc_id": ids, "ch": chs, "freq": freqs})
+
+    return binary_df.mapInPandas(mapper, FEATURE_HIST_SCHEMA)
 
 
 def extract_features(binary_df: DataFrame, payload_col: str = "payload") -> DataFrame:

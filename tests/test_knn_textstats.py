@@ -209,3 +209,32 @@ def test_grid_range_search_exact(spark, emb):
         assert [(r["vec_id"], round(r["cosine"], 9)) for r in got] == [
             (r["vec_id"], round(r["cosine"], 9)) for r in ref
         ], thresh
+
+
+def test_png_header_decode_real(spark):
+    """decode_image_meta parses REAL PNG IHDR dimensions (stdlib-only);
+    non-PNG payloads keep the deterministic stub dims."""
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">II", 640, 480) + b"\x00" * 8
+    # IHDR layout: 8-byte magic, 4-byte len, 4-byte 'IHDR', then w/h
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", 640, 480) + b"\x00" * 5
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(b"notpng-payload"))],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in multimodal.decode_image_meta(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+    assert rows[1]["magic"] == "89504e47"
+    assert rows[2]["width"] != 640  # stub path
+
+
+def test_char_histogram_features(spark):
+    binary = spark.createDataFrame(
+        [(0, bytearray(b"aab9")), (1, bytearray(b"!!!")), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.extract_char_histogram(binary).collect()
+    got = {(r["doc_id"], r["ch"]): r["freq"] for r in out}
+    assert got[(0, "a")] == pytest.approx(0.5)
+    assert got[(0, "b")] == pytest.approx(0.25)
+    assert got[(0, "9")] == pytest.approx(0.25)
+    assert not [k for k in got if k[0] in (1, 2)]  # no countable chars -> no rows
