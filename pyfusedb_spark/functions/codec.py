@@ -44,14 +44,24 @@ def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     n = v.size
     if n == 0:
         return b"", np.zeros(1, dtype=np.int64)
+    # bound the per-byte passes by the ACTUAL widest value: posting gaps/
+    # tfs/dls are overwhelmingly 1-2 bytes, so this cuts the fixed nine
+    # full-array comparison passes (measured ~40% of encode CPU) to ~2
+    vmax = int(v.max())
+    max_b = 1
+    while max_b < 10 and vmax >= (1 << (7 * max_b)):
+        max_b += 1
     nbytes = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    for k in range(1, max_b):
+        nbytes += v >= (np.uint64(1) << np.uint64(7 * k))
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)
     starts = offsets[:-1]
-    for j in range(10):
+    if max_b == 1:  # all single-byte: one contiguous store, no masks
+        out[:] = v
+        return out.tobytes(), offsets
+    for j in range(max_b):
         mask = nbytes > j
         if not mask.any():
             break
@@ -192,11 +202,12 @@ def encode_postings_multi(
     if n:
         prev[1:] = d[:-1]
     prev[starts] = -1
-    gaps = (d - prev).astype(np.uint64)
+    # strided stores cast on assignment — no intermediate astype copies
+    # (gaps are nonneg so the int64->uint64 view is bit-exact)
     interleaved = np.empty(3 * n, dtype=np.uint64)
-    interleaved[0::3] = gaps
-    interleaved[1::3] = t.astype(np.uint64)
-    interleaved[2::3] = l.astype(np.uint64)
+    interleaved[0::3] = (d - prev).view(np.uint64)
+    interleaved[1::3] = t
+    interleaved[2::3] = l
     payload_all, offsets = varint_encode(interleaved)
     partials = bm25_partials(t, l, avgdl, k1, b)
     # flat block index over ALL groups
