@@ -108,3 +108,40 @@ def test_sha256_lineage_invariant(spark, tmp_path):
     assert sa["sha256_lineage_sum"] == sb["sha256_lineage_sum"]
     assert sa["n_docs"] == sb["n_docs"] == 200
     assert sa["n_postings"] == sb["n_postings"]
+
+
+def test_orphan_staging_dirs_are_cleaned(tmp_path):
+    """ADVICE round-1: `bucket=k.tmp-*` staging dirs left by a killed run
+    must not survive into a resume (they'd match `dir/*/*.parquet` globs
+    and double-count chunks in the lexicon)."""
+    import os
+
+    from pyfusedb_spark.sources.catalog import ManifestCatalog
+
+    root = tmp_path / "idx"
+    good = root / "index" / "bucket=0"
+    orphan = root / "index" / "bucket=1.tmp-deadbeef"
+    nested_orphan = root / "lexicon.tmp-cafebabe"
+    for d in (good, orphan, nested_orphan):
+        os.makedirs(d)
+        (d / "part-0.parquet").write_bytes(b"x")
+    ManifestCatalog(str(root)).clean_orphan_staging(str(root))
+    assert good.exists()
+    assert not orphan.exists()
+    assert not nested_orphan.exists()
+
+
+def test_promote_dir_drops_sibling_stagings(tmp_path):
+    import os
+
+    from pyfusedb_spark.sources.catalog import ManifestCatalog
+
+    final = tmp_path / "bucket=3"
+    stale = tmp_path / "bucket=3.tmp-00000000"
+    fresh = tmp_path / "bucket=3.tmp-11111111"
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    (fresh / "part-0.parquet").write_bytes(b"y")
+    ManifestCatalog.promote_dir(str(fresh), str(final))
+    assert (final / "part-0.parquet").exists()
+    assert not stale.exists() and not fresh.exists()
