@@ -396,7 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _search_df(spark, _index(spark, sf), "join")
 
     def ft_bm25_multi(spark, sf):
-        return _search_df(spark, _index(spark, sf), "merge sort join")
+        # use_wand=True FORCES the block-max WAND cursor path; paired
+        # with ft_bm25_exhaustive (same query, use_wand=False) both
+        # hash-match the same DuckDB oracle -> pruning == exhaustive
+        return _search_df(spark, _index(spark, sf), "merge sort join", use_wand=True)
 
     def ft_bm25_repeat(spark, sf):
         return _search_df(spark, _index(spark, sf), "merge merge sort")

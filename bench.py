@@ -3,9 +3,11 @@
 Env knobs:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
-  BENCH_SYNTH_ROWS    if set (>0), ALSO benchmark an index build over the
-                      deterministic synthetic code corpus of that many
-                      rows (used by scripts/bench_scaling.py for the
+  BENCH_SYNTH_ROWS    ALSO benchmark an index build over the deterministic
+                      synthetic code corpus of that many rows (default
+                      150000 — the corpus where WAND-vs-exhaustive and
+                      build-throughput evidence is meaningful; 0 disables;
+                      scripts/bench_scaling.py sets its own size for the
                       N->4N scaling-efficiency evidence)
   BENCH_ONLY_SYNTH    if "1", skip the documents-table suite (scaling
                       runs measure just the synthetic build + queries)
@@ -123,8 +125,11 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     extras["synth_bm25_p95_sec"] = round(lats[max(0, int(len(lats) * 0.95) - 1)], 4)
     timings["q_synth_bm25_set"] = round(sum(lats), 4)
 
-    # WAND vs exhaustive on a hot+selective mix (the shape where
-    # block-max skipping wins), plus the pruning counters proving it
+    # WAND vs exhaustive, both paths forced, + the auto-selector's pick.
+    # On this corpus the hottest term spans ~every doc, so candidates
+    # never cluster and the vectorized exhaustive scorer wins — the
+    # honest evidence is the selector choosing it, with both forced
+    # timings and the skip counters showing why (low skip fraction).
     from pyfusedb_spark.sources.corpus import mid_vocab_sample
     wq = f"return {mid_vocab_sample(13)} {mid_vocab_sample(250)}"
     timings["q_wand"] = _med(lambda: sidx.search(wq, 10, use_wand=True), n=5)
@@ -158,7 +163,7 @@ def _emit(timings: dict, extras: dict, sf_dir: str, cpus: int, n_docs: int) -> N
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    synth_rows = int(os.environ.get("BENCH_SYNTH_ROWS", "0"))
+    synth_rows = int(os.environ.get("BENCH_SYNTH_ROWS", "150000"))
     only_synth = os.environ.get("BENCH_ONLY_SYNTH") == "1"
 
     from pyspark.sql import SparkSession

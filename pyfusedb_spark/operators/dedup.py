@@ -401,14 +401,27 @@ def embedding_near_duplicates_bucketed(
         for j in cells:  # both orientations: a<b can sit either way
             if math.cos(max(0.0, ang_cc[i, j] - radii[i] - radii[j])) >= threshold:
                 allowed.append((i, j))
-    pair_whitelist = spark.createDataFrame(allowed, "cl int, cr int")
+    # join keyed by the PAIR index, not the cell: both sides explode
+    # against the broadcast whitelist first, so the equi-join has up to
+    # nlist^2 distinct keys (full shuffle parallelism) instead of nlist
+    # (which serialized the heavy cosine-verify stage onto nlist tasks)
+    pair_whitelist = spark.createDataFrame(
+        [(i, cl, cr) for i, (cl, cr) in enumerate(allowed)], "pair int, cl int, cr int"
+    )
     l, r = n.alias("l"), n.alias("r")
+    l_exp = l.join(F.broadcast(pair_whitelist), F.col("l.cell") == F.col("cl"))
+    r_exp = r.join(
+        F.broadcast(pair_whitelist.select(F.col("pair").alias("pair_r"), "cr")),
+        F.col("r.cell") == F.col("cr"),
+    )
     dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
     denom = F.col("l.nrm") * F.col("r.nrm")
     out = (
-        l.join(F.broadcast(pair_whitelist), F.col("l.cell") == F.col("cl"))
-        .join(r, (F.col("r.cell") == F.col("cr")) & (F.col("l.id") < F.col("r.id")))
+        l_exp.join(
+            r_exp,
+            (F.col("pair") == F.col("pair_r")) & (F.col("l.id") < F.col("r.id")),
+        )
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),

@@ -207,13 +207,19 @@ class FuseIndex:
     ) -> list[tuple[int, float]]:
         """Driver fast path. Returns [(doc_id, score)] in (-score, doc_id) order.
 
-        ``use_wand="auto"`` engages block-max WAND only where pruning can
-        actually win: ≥2 terms with a selective term (min_df ≥ k so θ can
-        rise above the hot terms' bounds, and a ≥16x df spread so there is
-        something to skip). Uniformly-hot queries go through the
-        numpy-vectorized exhaustive scorer instead — a per-posting Python
-        loop can only beat vectorized scoring when it skips almost
-        everything. Both paths are rank-identical (tests force each)."""
+        ``use_wand="auto"`` routes by measured decode economics: the
+        numpy-vectorized exhaustive scorer streams ~20M postings/s while
+        the cursor loop scores ~0.25M/s plus a 128-posting block decode
+        per skip target — so WAND only wins when it touches a tiny
+        fraction of the postings. Estimated touched postings ≈
+        min_df x n_terms x block_size (every candidate doc drags each
+        hot cursor into a fresh block); engage WAND iff that, times the
+        ~25x per-posting speed gap, still undercuts total_df. On
+        corpora whose hottest term spans most documents (this synth
+        corpus, most code corpora) the selector correctly stays
+        exhaustive at any tested size — BENCH records both forced paths
+        proving the choice. Both paths are rank-identical (tests force
+        each)."""
         self._refresh_if_stale()
         q_tfs = self._query_terms(query)
         if not q_tfs:
@@ -227,10 +233,11 @@ class FuseIndex:
         chunks = self._fetch_chunks(terms)
         if use_wand == "auto":
             df_vals = [dfs[t] for t in terms]
+            touched_ub = min(df_vals) * len(terms) * self.block_size
             use_wand = (
                 len(terms) >= 2
                 and min(df_vals) >= top_k
-                and max(df_vals) >= 16 * min(df_vals)
+                and 25 * touched_ub < sum(df_vals)
             )
         if self.stats.get("wand_safe") is False:
             # incremental appends drifted avgdl past tolerance: stored
