@@ -44,14 +44,15 @@ SYNTH_QUERY_SET = [
 
 def _extend_query_set() -> None:
     # mid-/rare-frequency terms from the long-tail vocabulary: selective
-    # lookups (df ~ N/500) and hot+selective mixes exercise WAND skipping
-    from pyfusedb_spark.sources.corpus import mid_vocab_sample
+    # lookups and hot+selective mixes exercise block-max skipping
+    from pyfusedb_spark.sources.corpus import mid_vocab_sample, project_vocab_sample
 
     SYNTH_QUERY_SET.extend(
         [
             mid_vocab_sample(7),                          # mid-frequency term
-            f"return {mid_vocab_sample(13)}",             # hot + selective (WAND skip)
-            f"{mid_vocab_sample(3)} {mid_vocab_sample(250)} wizard",
+            f"return {mid_vocab_sample(13)}",             # hot + mid
+            f"return {project_vocab_sample(42)}",         # hot + selective (bmx skip)
+            f"{mid_vocab_sample(3)} {project_vocab_sample(7)} wizard",
         ]
     )
 
@@ -77,7 +78,7 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     # materialize the corpus ONCE (untimed): the north-rule input is an
     # Iceberg table at rest — a real build reads columnar storage, it
     # does not synthesize rows through Python inside the timed job
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_corpus_v2_{synth_rows}")
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_corpus_v3_{synth_rows}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         synthetic_code_corpus(
             spark, synth_rows, n_partitions=32, with_doc_id=True
@@ -125,24 +126,26 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     extras["synth_bm25_p95_sec"] = round(lats[max(0, int(len(lats) * 0.95) - 1)], 4)
     timings["q_synth_bm25_set"] = round(sum(lats), 4)
 
-    # WAND vs exhaustive, both paths forced, + the auto-selector's pick.
-    # On this corpus the hottest term spans ~every doc, so candidates
-    # never cluster and the vectorized exhaustive scorer wins — the
-    # honest evidence is the selector choosing it, with both forced
-    # timings and the skip counters showing why (low skip fraction).
-    from pyfusedb_spark.sources.corpus import mid_vocab_sample
-    wq = f"return {mid_vocab_sample(13)} {mid_vocab_sample(250)}"
-    timings["q_wand"] = _med(lambda: sidx.search(wq, 10, use_wand=True), n=5)
+    # Scorer-path evidence on a hot+selective query: all three paths
+    # forced (cursor WAND kept as the reference algorithm; bmx = the
+    # vectorized block-max scorer that actually wins; exhaustive = the
+    # vectorized full scan), plus the auto-selector's pick and the skip
+    # counters proving WHY the winner wins.
+    from pyfusedb_spark.sources.corpus import project_vocab_sample
+    wq = f"return {project_vocab_sample(42)} {project_vocab_sample(1009)}"
+    timings["q_wand_cursor"] = _med(lambda: sidx.search(wq, 10, use_wand=True), n=3)
+    timings["q_bmx"] = _med(lambda: sidx.search(wq, 10, use_wand="bmx"), n=5)
     st = sidx.last_search_stats or {}
     timings["q_exhaustive_same"] = _med(lambda: sidx.search(wq, 10, use_wand=False), n=5)
     sidx.search(wq, 10, use_wand="auto")
-    extras["wand_query"] = wq
-    extras["wand_speedup"] = round(timings["q_exhaustive_same"] / timings["q_wand"], 2) \
-        if timings["q_wand"] else None
-    extras["wand_blocks_skipped"] = st.get("blocks_skipped")
-    extras["wand_blocks_total"] = st.get("blocks_total")
-    extras["wand_postings_total"] = st.get("postings_total")
-    extras["wand_auto_picked"] = (sidx.last_search_stats or {}).get("path")
+    extras["scorer_query"] = wq
+    extras["bmx_speedup_vs_exhaustive"] = (
+        round(timings["q_exhaustive_same"] / timings["q_bmx"], 2) if timings["q_bmx"] else None
+    )
+    extras["bmx_blocks_skipped"] = st.get("hot_blocks_skipped")
+    extras["bmx_blocks_total"] = st.get("hot_blocks_total")
+    extras["bmx_postings_total"] = st.get("postings_total")
+    extras["scorer_auto_picked"] = (sidx.last_search_stats or {}).get("path")
 
 
 def _emit(timings: dict, extras: dict, sf_dir: str, cpus: int, n_docs: int) -> None:

@@ -75,7 +75,13 @@ def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 def varint_decode(payload: bytes | np.ndarray, start: int = 0, count: int | None = None) -> np.ndarray:
     """Decode `count` varints (or all) from payload[start:] -> uint64 array."""
     b = np.frombuffer(payload, dtype=np.uint8) if not isinstance(payload, np.ndarray) else payload
-    b = b[start:]
+    if count is not None:
+        # a varint is <= 10 bytes: cap the boundary scan at count*10
+        # instead of scanning to the end of the payload (a mid-chunk
+        # block decode was O(chunk bytes) per call without this)
+        b = b[start : start + 10 * count]
+    else:
+        b = b[start:]
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = b < 128
@@ -266,6 +272,32 @@ def decode_postings(payload: bytes, n_postings: int) -> tuple[np.ndarray, np.nda
     tfs = vals[1::3].astype(np.int64)
     dls = vals[2::3].astype(np.int64)
     doc_ids = np.cumsum(gaps) - 1
+    return doc_ids, tfs, dls
+
+
+def decode_block_run(
+    payload: bytes,
+    block_offsets: np.ndarray,
+    first_block: int,
+    last_block: int,
+    n_postings: int,
+    block_size: int = BLOCK_SIZE,
+    prev_last_doc: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a CONTIGUOUS run of blocks [first_block..last_block] in one
+    varint pass (gaps continue across block boundaries within a chunk, so
+    a run decodes exactly like a payload slice). The vectorized block-max
+    scorer decodes selected-block runs at full decode speed instead of
+    per-block calls."""
+    start = int(block_offsets[first_block])
+    count = min(block_size * (last_block - first_block + 1),
+                n_postings - first_block * block_size)
+    vals = varint_decode(payload, start, 3 * count)
+    gaps = vals[0::3].astype(np.int64)
+    tfs = vals[1::3].astype(np.int64)
+    dls = vals[2::3].astype(np.int64)
+    base = -1 if first_block == 0 else (prev_last_doc if prev_last_doc is not None else -1)
+    doc_ids = base + np.cumsum(gaps)
     return doc_ids, tfs, dls
 
 

@@ -36,6 +36,10 @@ from pyfusedb_spark.analysis import Analyzer
 from pyfusedb_spark.functions import codec
 from pyfusedb_spark.oracle import bm25_idf, tfidf_weight
 
+class _BmxBail(Exception):
+    """Internal: bmx hit a non-dense doc id — fall back to exhaustive."""
+
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -79,6 +83,13 @@ class FuseIndex:
         # pushdown lookups per query
         self._lexicon_cache_max = 2_000_000
         self._norms_dense = None
+        # driver-side LRU of fetched chunk rows: hot terms (`return`,
+        # `def`) re-fetch multi-MB payload cells on every query without
+        # it — the posting-cache tier any real engine keeps in memory.
+        # Invalidated with the rest on stats.json change.
+        self._chunk_cache: dict[str, pd.DataFrame] = {}
+        self._chunk_cache_bytes = 0
+        self._chunk_cache_budget = 256 << 20
 
     def _refresh_if_stale(self) -> None:
         """Drop driver-side caches when stats.json changed underneath us.
@@ -168,7 +179,31 @@ class FuseIndex:
         Files cover disjoint term ranges (build uses repartitionByRange)
         so file-level min/max stats prune to ~1-2 files and row-group
         stats prune within them. Spark-scan fallback for filesystems
-        pyarrow cannot reach."""
+        pyarrow cannot reach. Fetched rows land in a budgeted driver
+        cache keyed by term (hot-term payloads are multi-MB; refetching
+        them dominated hot-query latency)."""
+        cached = [t for t in terms if t in self._chunk_cache]
+        missing = [t for t in terms if t not in self._chunk_cache]
+        if not missing:
+            return (
+                pd.concat([self._chunk_cache[t] for t in cached], ignore_index=True)
+                .sort_values(["term", "bucket"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+        fetched = self._fetch_chunks_uncached(missing)
+        for t, grp in fetched.groupby("term", sort=False):
+            nbytes = int(grp["payload"].map(len).sum()) + 1024
+            if self._chunk_cache_bytes + nbytes <= self._chunk_cache_budget:
+                self._chunk_cache[t] = grp.reset_index(drop=True)
+                self._chunk_cache_bytes += nbytes
+        parts = [self._chunk_cache[t] for t in cached] + [fetched]
+        return (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(["term", "bucket"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    def _fetch_chunks_uncached(self, terms: list[str]) -> pd.DataFrame:
         try:
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
@@ -233,17 +268,41 @@ class FuseIndex:
         chunks = self._fetch_chunks(terms)
         if use_wand == "auto":
             df_vals = [dfs[t] for t in terms]
-            touched_ub = min(df_vals) * len(terms) * self.block_size
-            use_wand = (
-                len(terms) >= 2
+            # vectorized block-max (bmx) when there is a hot/rare split
+            # worth skipping on; plain vectorized exhaustive otherwise.
+            # The cursor-loop WAND is never auto-picked (measured ~25x
+            # slower per posting than the vectorized paths; kept for the
+            # forced-path oracle equivalence and as the reference
+            # algorithm).
+            hot_cut = max(32 * top_k, min(df_vals) * 4)
+            rare_total = sum(v for v in df_vals if v <= hot_cut)
+            hot_total = sum(v for v in df_vals if v > hot_cut)
+            if (
+                mode == "bm25"
+                and not conjunctive
+                and len(terms) >= 2
                 and min(df_vals) >= top_k
-                and 25 * touched_ub < sum(df_vals)
-            )
+                and max(df_vals) >= 16 * min(df_vals)
+                # engage only when candidate coverage still skips >=75%
+                # of the hot blocks (rare candidates ~ one block touch
+                # each); below that the run-batched decode approaches a
+                # full scan and plain exhaustive wins
+                and 4 * rare_total * self.block_size < hot_total
+            ):
+                out = self._blockmax_vectorized(chunks, terms, q_tfs, dfs, top_k)
+                if out is not None:
+                    return out
+            use_wand = False
         if self.stats.get("wand_safe") is False:
             # incremental appends drifted avgdl past tolerance: stored
             # block-max bounds may be stale -> pruning disabled, scoring
             # stays exact (streaming/incremental.py)
             use_wand = False
+        if use_wand == "bmx" and mode == "bm25" and not conjunctive:
+            out = self._blockmax_vectorized(chunks, terms, q_tfs, dfs, top_k)
+            if out is not None:
+                return out
+            return self._exhaustive(chunks, terms, q_tfs, dfs, top_k, mode, conjunctive)
         if mode == "bm25" and use_wand and not conjunctive:
             cursors = []
             for term in terms:
@@ -270,6 +329,150 @@ class FuseIndex:
             "postings_total": int(sum(dfs[t] for t in terms)),
         }
         return out
+
+    def _blockmax_vectorized(
+        self,
+        chunks: pd.DataFrame,
+        terms: list[str],
+        q_tfs: dict[str, int],
+        dfs: dict[str, int],
+        top_k: int,
+    ) -> list[tuple[int, float]] | None:
+        """Exact BM25 top-k with VECTORIZED block-max skipping ("bmx").
+
+        The cursor-loop WAND (wand_topk) scores ~0.25M postings/s in
+        Python, so it loses to the ~20M postings/s exhaustive scorer
+        unless it skips ~everything. This scorer keeps the skipping but
+        stays numpy-vectorized end to end:
+
+          A. decode RARE terms (df <= hot cutoff) fully, dense-accumulate
+             -> theta_lb = k-th best rare-only score (a lower bound on
+             the final threshold, since scores only grow);
+          B. for each HOT term, select blocks where
+             qw*block_max + sum(other hot terms' global UB) >= theta_lb
+             (any doc wholly inside skipped blocks and with no rare term
+             is provably below theta_lb <= theta_final, so dropping it is
+             lossless); decode them, collect their docs into the
+             candidate set;
+          C. cover pass: decode, per hot term, every block containing a
+             candidate doc (binary search over block [first,last]
+             ranges) so every candidate's score is COMPLETE;
+          D. one bincount + argpartition top-k with (-score, doc_id)
+             ties, identical to the exhaustive scorer.
+
+        Docs never decoded have provable score < theta_lb <= theta_final
+        and cannot enter (or tie into) the top-k — rank-identity with
+        the exhaustive path is asserted in tests across forced paths.
+        Returns None when every term is hot or ids are non-dense
+        (caller falls back to exhaustive)."""
+        df_vals = np.array([dfs[t] for t in terms], dtype=np.int64)
+        hot_cut = max(32 * top_k, int(df_vals.min()) * 4)
+        hot_mask = df_vals > hot_cut
+        if not hot_mask.any() or hot_mask.all():
+            return None
+        dense_n = self._dense_id_bound()
+        if dense_n > (1 << 26):
+            return None
+        sums = np.zeros(dense_n, dtype=np.float64)
+        covered = np.zeros(dense_n, dtype=bool)
+        hot_rows: list[tuple[str, float, pd.DataFrame]] = []
+        # --- A: rare terms decoded fully ---
+        for term, is_hot in zip(terms, hot_mask):
+            sub = chunks[chunks["term"] == term]
+            qw = float(q_tfs[term]) * bm25_idf(dfs[term], self.n_docs)
+            if is_hot:
+                hot_rows.append((term, qw, sub))
+                continue
+            for row in sub.itertuples(index=False):
+                d, t, l = codec.decode_postings(bytes(row.payload), int(row.df_chunk))
+                if d.size and int(d.max()) >= dense_n:
+                    return None
+                sums[d] += qw * codec.bm25_partials(t, l, self.avgdl, self.k1, self.b)
+                covered[d] = True
+        cand = np.flatnonzero(covered)
+        if cand.size >= top_k:
+            theta_lb = float(np.partition(sums[cand], cand.size - top_k)[cand.size - top_k])
+        else:
+            theta_lb = -math.inf
+        hot_ub = {term: qw * float(sub["max_partial"].max() if len(sub) else 0.0)
+                  for term, qw, sub in hot_rows}
+        blocks_total = 0
+        blocks_decoded = 0
+
+        def _decode_runs(row, qw, want: np.ndarray) -> np.ndarray:
+            """Decode sorted block indices of one chunk row, batching
+            CONSECUTIVE blocks into single varint passes (gaps continue
+            across block boundaries, so a run decodes at full speed —
+            per-block calls made bmx slower than exhaustive). Returns
+            the decoded docs."""
+            nonlocal blocks_decoded
+            offsets = np.asarray(row.block_offsets, dtype=np.int64)
+            last = np.asarray(row.block_last, dtype=np.int64)
+            payload = bytes(row.payload)
+            npost = int(row.df_chunk)
+            cuts = np.flatnonzero(np.diff(want) > 1) + 1
+            docs_out = []
+            for seg in np.split(want, cuts):
+                a, bnd = int(seg[0]), int(seg[-1])
+                prev_last = int(last[a - 1]) if a > 0 else None
+                d, t, l = codec.decode_block_run(
+                    payload, offsets, a, bnd, npost, self.block_size, prev_last
+                )
+                if d.size and int(d.max()) >= dense_n:
+                    raise _BmxBail()
+                sums[d] += qw * codec.bm25_partials(t, l, self.avgdl, self.k1, self.b)
+                docs_out.append(d)
+            blocks_decoded += len(want)
+            return np.concatenate(docs_out) if docs_out else np.zeros(0, np.int64)
+
+        try:
+            # --- B: high-UB hot blocks (could beat theta on their own) ---
+            ub_want: dict[tuple[str, int], np.ndarray] = {}
+            new_docs = []
+            for term, qw, sub in hot_rows:
+                other_ub = sum(v for k2, v in hot_ub.items() if k2 != term)
+                for ci, row in enumerate(sub.itertuples(index=False)):
+                    bmax = np.asarray(row.block_max_partial, dtype=np.float64)
+                    blocks_total += len(bmax)
+                    want = np.flatnonzero(qw * bmax + other_ub >= theta_lb)
+                    ub_want[(term, ci)] = want
+                    if want.size:
+                        new_docs.append(_decode_runs(row, qw, want))
+            if new_docs:
+                nd = np.concatenate(new_docs)
+                covered[nd] = True
+                cand = np.flatnonzero(covered)
+            # --- C: cover pass — complete every candidate's score ---
+            cand_sorted = cand  # flatnonzero is sorted
+            for term, qw, sub in hot_rows:
+                for ci, row in enumerate(sub.itertuples(index=False)):
+                    first = np.asarray(row.block_first, dtype=np.int64)
+                    last = np.asarray(row.block_last, dtype=np.int64)
+                    lo = np.searchsorted(cand_sorted, first, side="left")
+                    hi = np.searchsorted(cand_sorted, last, side="right")
+                    need = hi > lo
+                    need[ub_want[(term, ci)]] = False  # already decoded in B
+                    want = np.flatnonzero(need)
+                    if want.size:
+                        _decode_runs(row, qw, want)
+        except _BmxBail:
+            return None
+        self.last_search_stats = {
+            "path": "bmx",
+            "postings_total": int(sum(dfs[t] for t in terms)),
+            "hot_blocks_total": int(blocks_total),
+            "hot_blocks_decoded": int(blocks_decoded),
+            "hot_blocks_skipped": int(blocks_total - blocks_decoded),
+        }
+        if cand.size == 0:
+            return []
+        svals = sums[cand]
+        kk = min(top_k, cand.size)
+        part = np.argpartition(-svals, kk - 1)[:kk]
+        thresh = svals[part].min()
+        tie = np.flatnonzero(svals >= thresh)
+        order = tie[np.lexsort((cand[tie], -svals[tie]))][:top_k]
+        return [(int(cand[i]), float(svals[i])) for i in order]
 
     def _exhaustive(
         self,

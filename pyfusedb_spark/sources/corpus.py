@@ -67,6 +67,21 @@ def mid_vocab_sample(k: int = 0) -> str:
     return _MID_POOL[k % len(_MID_POOL)]
 
 
+# Project-tier symbols: 20k shared names, ~3 per doc -> df ~ n_rows/6666.
+# Real code corpora are Zipfian ACROSS the middle too (a helper used by a
+# hundred files), not bimodal keyword-vs-singleton; this tier is also what
+# gives selective multi-term queries their block-skipping habitat.
+_PROJ_POOL: list[str] = [
+    "".join(chr(97 + c) for c in row)
+    for row in np.random.default_rng(11).integers(0, 26, size=(20000, 6))
+]
+
+
+def project_vocab_sample(k: int = 0) -> str:
+    """Deterministic selective term (df ~ n_rows/6666 — rare but > top_k)."""
+    return _PROJ_POOL[k % len(_PROJ_POOL)]
+
+
 def _row_content(i: int) -> str:
     if i % 997 == 0:
         return ""  # empty docs exercise N-counting (app/InvertedIndex.py:34)
@@ -88,10 +103,11 @@ def _row_content(i: int) -> str:
     eng_idx = rng.integers(0, len(_ENGLISH), n_tokens - len(kws) - n_id)
     eng = [_ENGLISH[e] for e in eng_idx]
     mids = [_MID_POOL[m] for m in rng.integers(0, len(_MID_POOL), max(2, n_tokens // 40))]
+    projs = [_PROJ_POOL[p] for p in rng.integers(0, len(_PROJ_POOL), 3)]
     rares = [
         "".join(chr(97 + c) for c in row) for row in rng.integers(0, 26, size=(3, 8))
     ]
-    toks = kws + idents + eng + mids + rares
+    toks = kws + idents + eng + mids + projs + rares
     order = rng.permutation(len(toks))
     return " ".join(toks[j] for j in order)
 

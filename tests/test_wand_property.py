@@ -92,3 +92,61 @@ def test_wand_heavy_ties():
     got = wand_topk([TermCursor(chunks, qw, K1, B, 100.0, 16)], k)
     # ties broken by ascending doc_id -> exactly the k smallest matching ids
     assert [d for d, _ in got] == doc_ids[:k].tolist()
+
+
+class _BmxStub:
+    """Minimal FuseIndex stand-in for driving _blockmax_vectorized."""
+
+    from pyfusedb_spark.operators.query import FuseIndex as _FI
+
+    _dense_id_bound = _FI._dense_id_bound
+    _blockmax_vectorized = _FI._blockmax_vectorized
+
+    def __init__(self, n_docs, avgdl, block_size):
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.k1, self.b = K1, B
+        self.block_size = block_size
+        self.stats = {"max_doc_id": n_docs - 1}
+        self.last_search_stats = None
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_bmx_equals_exhaustive_random(seed):
+    """The vectorized block-max scorer must be rank-identical to the
+    reference exhaustive accumulation on randomized hot/rare mixes
+    (including ties and multi-hot queries); all-hot shapes return None
+    (caller falls back)."""
+    rng = np.random.default_rng(1000 + seed)
+    n_docs = int(rng.integers(200, 3000))
+    k = int(rng.choice([1, 5, 10]))
+    block_size = int(rng.choice([4, 16, 128]))
+    dls = rng.integers(5, 500, size=n_docs)
+    avgdl = float(dls.mean())
+    n_hot = int(rng.integers(1, 3))
+    n_rare = int(rng.integers(1, 4))
+    chunk_rows, term_data, terms, q_tfs, dfs = [], [], [], {}, {}
+    for i in range(n_hot + n_rare):
+        name = f"t{i}"
+        df = (
+            int(rng.integers(max(2, n_docs // 2), n_docs))
+            if i < n_hot
+            else int(rng.integers(1, max(2, n_docs // 50)))
+        )
+        chunks, doc_ids, tfs = _make_chunks(rng, n_docs, df, avgdl, dls, block_size)
+        chunks["term"] = name
+        qtf = int(rng.integers(1, 3))
+        chunk_rows.append(chunks)
+        term_data.append(((doc_ids, tfs), qtf * bm25_idf(df, n_docs)))
+        terms.append(name)
+        q_tfs[name] = qtf
+        dfs[name] = df
+    all_chunks = pd.concat(chunk_rows, ignore_index=True)
+    stub = _BmxStub(n_docs, avgdl, block_size)
+    got = stub._blockmax_vectorized(all_chunks, terms, q_tfs, dfs, k)
+    expect = _exhaustive(term_data, dls, avgdl, n_docs, k)
+    if got is None:  # degenerate hot/rare split -> caller's fallback
+        return
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+    assert stub.last_search_stats["path"] == "bmx"
