@@ -411,6 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same result as the WAND path — proves pruning == exhaustive
         return _search_df(spark, _index(spark, sf), "merge sort join", use_wand=False)
 
+    def ft_bm25_bmx(spark, sf):
+        # forces the vectorized block-max scorer (falls back to
+        # exhaustive on shapes with no hot/rare split — either way the
+        # result must hash-match the same DuckDB oracle)
+        return _search_df(spark, _index(spark, sf), "merge sort join", use_wand="bmx")
+
     def ft_bm25_distributed(spark, sf):
         out = _index(spark, sf).search_distributed("merge sort join", 10)
         return out.select("doc_id", F.round("score", 6).alias("score"))
@@ -459,7 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_doc_stats=ft_doc_stats, ft_content_sha=ft_content_sha, ft_term_df=ft_term_df,
         ft_top_terms=ft_top_terms, ft_bm25_hot=ft_bm25_hot, ft_bm25_multi=ft_bm25_multi,
         ft_bm25_repeat=ft_bm25_repeat, ft_bm25_and=ft_bm25_and,
-        ft_bm25_exhaustive=ft_bm25_exhaustive, ft_bm25_distributed=ft_bm25_distributed,
+        ft_bm25_exhaustive=ft_bm25_exhaustive, ft_bm25_bmx=ft_bm25_bmx,
+        ft_bm25_distributed=ft_bm25_distributed,
         ft_tfidf_cosine=ft_tfidf_cosine, ft_bm25_stemmed=ft_bm25_stemmed,
     )
 
@@ -736,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_repeat": _bm25_sql("merge merge sort"),
         "ft_bm25_and": _bm25_sql("merge sort", conjunctive=True),
         "ft_bm25_exhaustive": _bm25_sql("merge sort join"),
+        "ft_bm25_bmx": _bm25_sql("merge sort join"),
         "ft_bm25_distributed": _bm25_sql("merge sort join"),
         "ft_tfidf_cosine": _tfidf_sql("merge sort"),
         "sqlfront_like": _bm25_sql(
