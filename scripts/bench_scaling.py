@@ -31,10 +31,16 @@ def _code_version() -> str:
     silently inflating a newer engine's efficiency was an ADVICE.md
     finding). Dirty worktrees get a -dirty suffix so they never match."""
     try:
-        sha = subprocess.run(
-            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        # hash only the trees that affect measurements, so doc-only
+        # commits don't split best-of-window merging across windows
+        trees = subprocess.run(
+            ["git", "-C", REPO, "rev-parse",
+             "HEAD:pyfusedb_spark", "HEAD:bench.py", "HEAD:scripts"],
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
+        ).stdout.split()
+        import hashlib
+
+        sha = hashlib.sha256("".join(trees).encode()).hexdigest()[:10]
         dirty = subprocess.run(
             ["git", "-C", REPO, "status", "--porcelain",
              "pyfusedb_spark", "bench.py", "scripts"],
