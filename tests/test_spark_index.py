@@ -145,3 +145,27 @@ def test_huge_vocab_lexicon_fallback(spark, pangram_index):
     for q in ("quick fox", "wizard", "quick fox jump wizard box flower dog cat"):
         assert idx2.search(q, 5) == pangram_index.search(q, 5)
         assert idx2.search(q, 5, mode="tfidf") == pangram_index.search(q, 5, mode="tfidf")
+
+
+def test_chunk_cache_hits_and_stays_correct(pangram_index):
+    """Second identical query must serve chunk rows from the driver
+    cache (no refetch) and return identical results."""
+    idx = pangram_index
+    idx._chunk_cache.clear()
+    idx._chunk_cache_bytes = 0
+    first = idx.search("quick fox", 10)
+    assert idx._chunk_cache, "fetch did not populate the chunk cache"
+    fetches = {"n": 0}
+    orig = idx._fetch_chunks_uncached
+
+    def counting(terms):
+        fetches["n"] += 1
+        return orig(terms)
+
+    idx._fetch_chunks_uncached = counting
+    try:
+        second = idx.search("quick fox", 10)
+    finally:
+        idx._fetch_chunks_uncached = orig
+    assert fetches["n"] == 0, "cached terms were refetched"
+    assert first == second
