@@ -33,9 +33,12 @@ def _code_version() -> str:
     try:
         # hash only the trees that affect measurements, so doc-only
         # commits don't split best-of-window merging across windows
+        # basis = what the measured job actually executes (the engine
+        # package + the bench entrypoint); harness/template text in
+        # scripts/ deliberately excluded
         trees = subprocess.run(
             ["git", "-C", REPO, "rev-parse",
-             "HEAD:pyfusedb_spark", "HEAD:bench.py", "HEAD:scripts"],
+             "HEAD:pyfusedb_spark", "HEAD:bench.py"],
             capture_output=True, text=True, timeout=10,
         ).stdout.split()
         import hashlib
@@ -43,7 +46,7 @@ def _code_version() -> str:
         sha = hashlib.sha256("".join(trees).encode()).hexdigest()[:10]
         dirty = subprocess.run(
             ["git", "-C", REPO, "status", "--porcelain",
-             "pyfusedb_spark", "bench.py", "scripts"],
+             "pyfusedb_spark", "bench.py"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip()
         return f"{sha}-dirty" if dirty else sha
@@ -157,7 +160,9 @@ def main() -> None:
     results = {}
     # interleave levels (A,B,A,B) and keep each level's BEST run: the
     # sandbox host is shared/virtualized and identical runs vary ~2x —
-    # best-of-N approximates the uncontended machine at both levels
+    # best-of-N approximates the uncontended machine at both levels.
+    # SCALING_REPS=0 = report-only: regenerate BENCH/BASELINE.md from the
+    # best recorded same-engine windows without running anything.
     for rep in range(reps):
         for cpus in (n_low, n_hi):
             t0 = time.time()
@@ -172,8 +177,11 @@ def main() -> None:
     # needs ALL cores free)
     for cpus in (n_low, n_hi):
         best = _best_recorded(cpus, rows, version)
-        if best and best["synth_docs_per_sec"] > results[cpus]["synth_docs_per_sec"]:
+        if best and (cpus not in results
+                     or best["synth_docs_per_sec"] > results[cpus]["synth_docs_per_sec"]):
             results[cpus] = best
+    if n_low not in results or n_hi not in results:
+        raise SystemExit(f"no recorded runs for tag {version} at rows={rows}")
 
     thr_lo = results[n_low]["synth_docs_per_sec"]
     thr_hi = results[n_hi]["synth_docs_per_sec"]
