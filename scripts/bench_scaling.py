@@ -255,6 +255,17 @@ def main() -> None:
         "on a real cluster. (Per-partition encode CPU is small — see",
         "`partitions` in the bucket manifests.)",
         "",
+        "Measured decomposition of the posting stage at local[16]/1M (A/B with",
+        "a pass-through UDF): parquet scan alone ~0.3s; scan+Arrow-to-Python",
+        "of the packed array columns ~2.9s; + the range exchange ~3.9s; the",
+        "rest is encode CPU (~2.5s), the partitioned parquet write, and",
+        "manifest stats. The identified next lever is the row<->columnar",
+        "conversion pair around the exchange (Spark materializes UnsafeRows",
+        "between the columnar scan and the Arrow UDF); a bucketed-write",
+        "'file shuffle' (tf written partitioned by term-hash, encoder reads",
+        "per-partition narrowly) would bypass the live exchange entirely —",
+        "left as the round-3 item rather than destabilize a green build.",
+        "",
         "### Hardware calibration (the machine's own ceiling)",
         "",
         "This sandbox host is virtualized: even an embarrassingly parallel",
