@@ -117,3 +117,18 @@ def test_lsh_high_dim_no_literal_bloat(spark):
     top = np.lexsort((np.arange(n), -np.round(sims, 12)))[:5].tolist()
     ann = _ids(knn.lsh_ann_topk(df, qv, 5, n_planes=16, max_hamming=16))
     assert ann == top
+
+
+def test_persisted_range_search_exact(emb, ivf):
+    """Cell-pruned range search must equal the full-scan range search
+    exactly (lossless spherical-cap prune against the stored radii)."""
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    full = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in knn.range_search(emb, qv, 0.3).collect()
+    ]
+    pruned = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf.range_search(qv, 0.3).collect()
+    ]
+    assert pruned == full and len(full) > 0
