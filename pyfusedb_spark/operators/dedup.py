@@ -429,4 +429,9 @@ def embedding_near_duplicates_bucketed(
         )
         .where(F.col("cosine") >= threshold)
     )
+    # materialize while `n` (assignment + norms) is cached, then release
+    # the pin — same pattern as minhash_near_duplicates
+    out = out.persist()
+    out.count()
+    n.unpersist()
     return out

@@ -184,19 +184,27 @@ class FuseIndex:
         them dominated hot-query latency)."""
         cached = [t for t in terms if t in self._chunk_cache]
         missing = [t for t in terms if t not in self._chunk_cache]
+        for t in cached:  # LRU touch (dict preserves insertion order)
+            self._chunk_cache[t] = self._chunk_cache.pop(t)
         if not missing:
             return (
                 pd.concat([self._chunk_cache[t] for t in cached], ignore_index=True)
                 .sort_values(["term", "bucket"], kind="mergesort")
                 .reset_index(drop=True)
             )
+        cached_frames = [self._chunk_cache[t] for t in cached]  # pre-eviction snapshot
         fetched = self._fetch_chunks_uncached(missing)
         for t, grp in fetched.groupby("term", sort=False):
             nbytes = int(grp["payload"].map(len).sum()) + 1024
-            if self._chunk_cache_bytes + nbytes <= self._chunk_cache_budget:
-                self._chunk_cache[t] = grp.reset_index(drop=True)
-                self._chunk_cache_bytes += nbytes
-        parts = [self._chunk_cache[t] for t in cached] + [fetched]
+            if nbytes > self._chunk_cache_budget:
+                continue  # single term larger than the whole budget
+            while self._chunk_cache_bytes + nbytes > self._chunk_cache_budget:
+                old_t = next(iter(self._chunk_cache))  # least-recently used
+                old = self._chunk_cache.pop(old_t)
+                self._chunk_cache_bytes -= int(old["payload"].map(len).sum()) + 1024
+            self._chunk_cache[t] = grp.reset_index(drop=True)
+            self._chunk_cache_bytes += nbytes
+        parts = cached_frames + [fetched]
         return (
             pd.concat(parts, ignore_index=True)
             .sort_values(["term", "bucket"], kind="mergesort")
@@ -266,6 +274,12 @@ class FuseIndex:
         if conjunctive and len(terms) < len(q_tfs):
             return []  # some query term matches nothing
         chunks = self._fetch_chunks(terms)
+        # wand_safe gates EVERY block-max-pruned path (auto-bmx, forced
+        # bmx, cursor WAND): incremental appends that drift avgdl past
+        # tolerance make the stored block-max bounds stale upper bounds,
+        # so pruning could silently drop true top-k docs. Scoring stays
+        # exact through the exhaustive path (streaming/incremental.py).
+        bounds_safe = self.stats.get("wand_safe") is not False
         if use_wand == "auto":
             df_vals = [dfs[t] for t in terms]
             # vectorized block-max (bmx) when there is a hot/rare split
@@ -274,11 +288,12 @@ class FuseIndex:
             # slower per posting than the vectorized paths; kept for the
             # forced-path oracle equivalence and as the reference
             # algorithm).
-            hot_cut = max(32 * top_k, min(df_vals) * 4)
+            hot_cut = self._hot_cut(df_vals, top_k)
             rare_total = sum(v for v in df_vals if v <= hot_cut)
             hot_total = sum(v for v in df_vals if v > hot_cut)
             if (
-                mode == "bm25"
+                bounds_safe
+                and mode == "bm25"
                 and not conjunctive
                 and len(terms) >= 2
                 and min(df_vals) >= top_k
@@ -293,16 +308,18 @@ class FuseIndex:
                 if out is not None:
                     return out
             use_wand = False
-        if self.stats.get("wand_safe") is False:
-            # incremental appends drifted avgdl past tolerance: stored
-            # block-max bounds may be stale -> pruning disabled, scoring
-            # stays exact (streaming/incremental.py)
+        if not bounds_safe:
             use_wand = False
         if use_wand == "bmx" and mode == "bm25" and not conjunctive:
             out = self._blockmax_vectorized(chunks, terms, q_tfs, dfs, top_k)
             if out is not None:
                 return out
-            return self._exhaustive(chunks, terms, q_tfs, dfs, top_k, mode, conjunctive)
+            out = self._exhaustive(chunks, terms, q_tfs, dfs, top_k, mode, conjunctive)
+            self.last_search_stats = {
+                "path": "exhaustive",  # bmx declined this shape
+                "postings_total": int(sum(dfs[t] for t in terms)),
+            }
+            return out
         if mode == "bm25" and use_wand and not conjunctive:
             cursors = []
             for term in terms:
@@ -329,6 +346,13 @@ class FuseIndex:
             "postings_total": int(sum(dfs[t] for t in terms)),
         }
         return out
+
+    @staticmethod
+    def _hot_cut(df_vals: list[int], top_k: int) -> int:
+        """Hot/rare df split shared by the auto-selector and the bmx
+        scorer — one definition so routing can never disagree with the
+        scorer's own classification."""
+        return max(32 * top_k, min(df_vals) * 4)
 
     def _blockmax_vectorized(
         self,
@@ -366,7 +390,7 @@ class FuseIndex:
         Returns None when every term is hot or ids are non-dense
         (caller falls back to exhaustive)."""
         df_vals = np.array([dfs[t] for t in terms], dtype=np.int64)
-        hot_cut = max(32 * top_k, int(df_vals.min()) * 4)
+        hot_cut = self._hot_cut(df_vals.tolist(), top_k)
         hot_mask = df_vals > hot_cut
         if not hot_mask.any() or hot_mask.all():
             return None

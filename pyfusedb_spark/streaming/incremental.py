@@ -71,7 +71,10 @@ class IncrementalIndexWriter:
         if s.get("last_batch_id") is not None:
             # legacy streaming stats without base markers: reconstruct by
             # subtracting the batch manifests from the running totals
-            n, ln = int(s.get("n_docs", 0)), int(s.get("total_len") or 0)
+            # (older stats may lack total_len -> rebuild it from avgdl)
+            n = int(s.get("n_docs", 0))
+            total = s.get("total_len")
+            ln = int(total) if total is not None else int(round(float(s.get("avgdl", 0.0)) * n))
             for k, m in self.cat.snapshot().get("manifests", {}).items():
                 if k.startswith("stream_batch=") and "n_docs" in m:
                     n -= int(m["n_docs"])
@@ -97,7 +100,16 @@ class IncrementalIndexWriter:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         key = f"stream_batch={batch_id}"
         if self.cat.is_committed(key):
-            return  # replayed batch after checkpoint recovery — idempotent
+            # replayed batch after checkpoint recovery — idempotent. If
+            # the crash hit BETWEEN the chunk-segment commit and the
+            # lexicon delta-merge, finish the merge now (the lexicon's
+            # _included.json marker makes this exactly-once; without the
+            # recovery call the batch's df/total_tf deltas would be lost
+            # forever under the delta-merge refresh).
+            if batch_id not in self._lexicon_included():
+                final_dir = os.path.join(self.out_dir, "index", f"bucket={1_000_000 + batch_id}")
+                self._refresh_global(batch_id, final_dir)
+            return
         t0 = time.perf_counter()
         cfg = self.config
         tfs_udf = term_freqs_udf(cfg.preset)
@@ -157,6 +169,19 @@ class IncrementalIndexWriter:
                 return json.load(f)
         return {"n_docs": 0, "avgdl": 1.0}
 
+    def _lexicon_included(self) -> list[int]:
+        """Batch ids whose chunk lexicons are already merged into the
+        stored lexicon. The marker lives INSIDE the lexicon dir (written
+        into staging, promoted atomically with the data), so lexicon
+        contents and the included-set can never disagree — the merge is
+        exactly-once even across kill points. Underscore prefix keeps
+        both Spark and pyarrow dataset discovery from reading it."""
+        path = os.path.join(self.out_dir, "lexicon", "_included.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return list(json.load(f))
+
     def _refresh_global(self, batch_id: int, batch_index_dir: str) -> None:
         """Delta-merge the NEW batch's chunk lexicon into the stored
         lexicon and accumulate doc counters from manifests.
@@ -172,31 +197,41 @@ class IncrementalIndexWriter:
         tests/test_streaming_incremental.py)."""
         spark = self.spark
         lex_dir = os.path.join(self.out_dir, "lexicon")
-        agg_cols = [
-            F.sum("df_chunk").alias("df"),
-            F.sum("sum_tf").alias("total_tf"),
-            F.max("max_partial").alias("max_partial"),
-            F.count(F.lit(1)).alias("n_chunks"),
-        ]
-        new_lex = spark.read.parquet(batch_index_dir).groupBy("term").agg(*agg_cols)
-        self.last_refresh_input_files = list(new_lex.inputFiles())
-        if os.path.exists(lex_dir):
-            old_lex = spark.read.parquet(lex_dir).select(
-                "term", "df", "total_tf", "max_partial", "n_chunks"
-            )
-            self.last_refresh_input_files += list(old_lex.inputFiles())
-            merged = old_lex.unionByName(new_lex).groupBy("term").agg(
-                F.sum("df").alias("df"),
-                F.sum("total_tf").alias("total_tf"),
-                F.max("max_partial").alias("max_partial"),
-                F.sum("n_chunks").alias("n_chunks"),
-            )
+        included = self._lexicon_included()
+        if batch_id in included:
+            # replay of an already-merged batch: stats rewrite only
+            vocab = spark.read.parquet(lex_dir).count()
+            self.last_refresh_input_files = []
         else:
-            merged = new_lex
-        staging = self.cat.staging_dir(lex_dir)
-        merged.write.mode("overwrite").parquet(staging)
-        self.cat.promote_dir(staging, lex_dir)
-        vocab = spark.read.parquet(lex_dir).count()
+            agg_cols = [
+                F.sum("df_chunk").alias("df"),
+                F.sum("sum_tf").alias("total_tf"),
+                F.max("max_partial").alias("max_partial"),
+                F.count(F.lit(1)).alias("n_chunks"),
+            ]
+            new_lex = spark.read.parquet(batch_index_dir).groupBy("term").agg(*agg_cols)
+            self.last_refresh_input_files = list(new_lex.inputFiles())
+            if os.path.exists(lex_dir):
+                old_lex = spark.read.parquet(lex_dir).select(
+                    "term", "df", "total_tf", "max_partial", "n_chunks"
+                )
+                self.last_refresh_input_files += list(old_lex.inputFiles())
+                merged = old_lex.unionByName(new_lex).groupBy("term").agg(
+                    F.sum("df").alias("df"),
+                    F.sum("total_tf").alias("total_tf"),
+                    F.max("max_partial").alias("max_partial"),
+                    F.sum("n_chunks").alias("n_chunks"),
+                )
+            else:
+                merged = new_lex
+            staging = self.cat.staging_dir(lex_dir)
+            merged.write.mode("overwrite").parquet(staging)
+            # the included-set marker rides INSIDE the staging dir so it
+            # becomes visible atomically with the merged data
+            with open(os.path.join(staging, "_included.json"), "w") as f:
+                json.dump(sorted(set(included) | {batch_id}), f)
+            self.cat.promote_dir(staging, lex_dir)
+            vocab = spark.read.parquet(lex_dir).count()
 
         # global doc counters: base-build stats + per-batch manifest deltas
         base = self._base_stats

@@ -143,3 +143,47 @@ def test_held_index_sees_appended_batches(spark, tmp_path):
     assert len(got) > n_before
     assert [d for d, _ in got] == [d for d, _ in expect]
     np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+
+def test_refresh_crash_recovery_exactly_once(spark, tmp_path):
+    """Kill point between the segment commit and the lexicon delta-merge:
+    the replayed batch must finish the merge (not skip it), and further
+    replays must NOT merge the same batch twice (_included.json marker)."""
+    out = str(tmp_path / "inc_idx4")
+    writer = IncrementalIndexWriter(spark, out, config=CFG)
+    half = len(PANGRAMS) // 2
+    b0 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS[:half])], "doc_id long, content string"
+    )
+    b1 = spark.createDataFrame(
+        [(i + half, c) for i, c in enumerate(PANGRAMS[half:])], "doc_id long, content string"
+    )
+    writer.process_batch(b0, 0)
+
+    real_refresh = writer._refresh_global
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated kill before refresh")
+
+    writer._refresh_global = crash
+    with pytest.raises(RuntimeError):
+        writer.process_batch(b1, 1)
+    writer._refresh_global = real_refresh
+    assert writer.cat.is_committed("stream_batch=1")  # segment landed
+    assert 1 not in writer._lexicon_included()        # merge did not
+
+    writer.process_batch(b1, 1)  # checkpoint replay -> recovery merge
+    assert 1 in writer._lexicon_included()
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    idx = FuseIndex(spark, out)
+    for q in QUERIES:
+        got = idx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+    # third replay: already merged -> lexicon df must not double
+    df_before = {r["term"]: r["df"] for r in idx.lexicon_df.collect()}
+    writer.process_batch(b1, 1)
+    df_after = {r["term"]: r["df"] for r in idx.lexicon_df.collect()}
+    assert df_before == df_after

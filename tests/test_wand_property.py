@@ -101,6 +101,7 @@ class _BmxStub:
 
     _dense_id_bound = _FI._dense_id_bound
     _blockmax_vectorized = _FI._blockmax_vectorized
+    _hot_cut = staticmethod(_FI._hot_cut)
 
     def __init__(self, n_docs, avgdl, block_size):
         self.n_docs = n_docs
