@@ -33,12 +33,23 @@ def _code_version() -> str:
     try:
         # hash only the trees that affect measurements, so doc-only
         # commits don't split best-of-window merging across windows
-        # basis = what the measured job actually executes (the engine
-        # package + the bench entrypoint); harness/template text in
-        # scripts/ deliberately excluded
+        # basis = the code the measured metric (index-BUILD throughput)
+        # actually executes: the build pipeline + its UDF/codec/corpus
+        # inputs + the bench entrypoint. Query-side or unrelated-module
+        # changes must not orphan comparable build measurements.
+        paths = [
+            "HEAD:bench.py",
+            "HEAD:pyfusedb_spark/operators/build.py",
+            "HEAD:pyfusedb_spark/operators/ids.py",
+            "HEAD:pyfusedb_spark/functions/udfs.py",
+            "HEAD:pyfusedb_spark/functions/codec.py",
+            "HEAD:pyfusedb_spark/sources/corpus.py",
+            "HEAD:pyfusedb_spark/sources/catalog.py",
+            "HEAD:pyfusedb_spark/analysis.py",
+            "HEAD:pyfusedb_spark/shipping.py",
+        ]
         trees = subprocess.run(
-            ["git", "-C", REPO, "rev-parse",
-             "HEAD:pyfusedb_spark", "HEAD:bench.py"],
+            ["git", "-C", REPO, "rev-parse", *paths],
             capture_output=True, text=True, timeout=10,
         ).stdout.split()
         import hashlib
