@@ -7,8 +7,9 @@
 
 Prints one JSON line per query: {"query": ..., "hits": [[doc_id, score]...],
 "seconds": ...}. ``--distributed`` scores in executors (hot terms / huge
-df); default is the driver fast path (pushdown fetch + block-max WAND or
-vectorized exhaustive, auto-selected).
+df); default is the driver fast path (pushdown fetch + the auto-selected
+scorer: vectorized block-max "bmx" on hot+selective shapes, vectorized
+exhaustive otherwise). ``--scorer`` forces a path (all are exact).
 """
 
 from __future__ import annotations
@@ -29,7 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--and", dest="conjunctive", action="store_true",
                     help="conjunctive (AND) semantics instead of score-union OR")
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--scorer", default="auto",
+                    choices=["auto", "bmx", "wand", "exhaustive"],
+                    help="force a driver scorer path (all rank-identical)")
     args = ap.parse_args(argv)
+    use_wand = {"auto": "auto", "bmx": "bmx", "wand": True, "exhaustive": False}[args.scorer]
 
     from pyspark.sql import SparkSession
 
@@ -46,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
             hits = [[int(r["doc_id"]), float(r["score"])] for r in rows]
         else:
             hits = [[int(d), float(s)] for d, s in
-                    idx.search(q, args.k, mode=args.mode, conjunctive=args.conjunctive)]
+                    idx.search(q, args.k, mode=args.mode, conjunctive=args.conjunctive,
+                               use_wand=use_wand)]
         print(json.dumps({
             "query": q, "hits": hits,
             "seconds": round(time.perf_counter() - t0, 4),
