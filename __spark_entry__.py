@@ -49,14 +49,39 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_sig(sf_dir: str, name: str) -> str:
+    """Cheap content signature of a fixture parquet (mtime+size over its
+    files). Keys the derived-index cache dirs so regenerated fixture
+    data can never silently reopen a stale persisted index (round-2
+    ADVICE: path-only keys failed only downstream at oracle-compare)."""
+    import hashlib
+
+    path = os.path.join(sf_dir, name)
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            p = os.path.join(path, f)
+            try:
+                st = os.stat(p)
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            except OSError:
+                pass
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _index(spark: SparkSession, sf_dir: str) -> FuseIndex:
     """Build (once, resumable) the 'simple'-analyzer index for sf_dir."""
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
-        # cache dir is format-versioned: a stale index built by older
-        # code must not be resumed into the new on-disk layout
+        # cache dir is format-versioned AND content-fingerprinted: a
+        # stale index built by older code or over regenerated fixture
+        # data must not be resumed into the new layout
         out = os.path.join(
-            tempfile.gettempdir(), "pyfusedb_entry_idx_v2", key.strip("/").replace("/", "_")
+            tempfile.gettempdir(), "pyfusedb_entry_idx_v3",
+            key.strip("/").replace("/", "_") + "_" + _fixture_sig(sf_dir, "documents.parquet"),
         )
         os.makedirs(out, exist_ok=True)
         build_index(
@@ -80,7 +105,8 @@ def _ivf(spark: SparkSession, sf_dir: str) -> "knn.PersistedIVF":
     key = os.path.abspath(sf_dir)
     if key not in _ANN_CACHE:
         out = os.path.join(
-            tempfile.gettempdir(), "pyfusedb_entry_ivf_v1", key.strip("/").replace("/", "_")
+            tempfile.gettempdir(), "pyfusedb_entry_ivf_v2",
+            key.strip("/").replace("/", "_") + "_" + _fixture_sig(sf_dir, "embeddings.parquet"),
         )
         if os.path.exists(os.path.join(out, "ivf.json")):
             _ANN_CACHE[key] = knn.PersistedIVF(spark, out)
@@ -436,8 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = os.path.abspath(sf) + ":english"
         if key not in _INDEX_CACHE:
             out = os.path.join(
-                tempfile.gettempdir(), "pyfusedb_entry_idx_en_v1",
-                os.path.abspath(sf).strip("/").replace("/", "_"),
+                tempfile.gettempdir(), "pyfusedb_entry_idx_en_v2",
+                os.path.abspath(sf).strip("/").replace("/", "_")
+                + "_" + _fixture_sig(sf, "documents.parquet"),
             )
             os.makedirs(out, exist_ok=True)
             build_index(

@@ -10,6 +10,7 @@ vectorized codecs. No row-at-a-time Python UDFs anywhere
 
 from __future__ import annotations
 
+import os
 import time
 from collections import Counter
 from collections.abc import Iterator
@@ -57,6 +58,7 @@ PACKED_TF_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("tpart", T.IntegerType(), False),
         T.StructField("docs", T.ArrayType(T.LongType()), False),
         T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
         T.StructField("dls", T.ArrayType(T.IntegerType()), False),
@@ -64,7 +66,19 @@ PACKED_TF_SCHEMA = T.StructType(
 )
 
 
-def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "content"):
+def term_tpart(term: str, n_tparts: int) -> int:
+    """Deterministic term -> hash-partition id, shared by the build
+    (exploder), the query side (directory addressing of posting fetches)
+    and streaming appends. MUST stay equal to the JVM expression
+    ``pmod(crc32(encode(term,'utf-8')), n_tparts)`` (same CRC-32/IEEE
+    polynomial as zlib.crc32) — tests assert the parity."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_tparts
+
+
+def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "content",
+                            n_tparts: int = 1):
     """mapInArrow fn: corpus rows -> PACKED per-(term,bucket) partial
     posting runs, one row per distinct (term, bucket) per Arrow batch.
 
@@ -83,12 +97,15 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
     vectorized parquet reader's per-batch memory downstream (seen as
     JVM OOM at 65536-doc batches). The encoder merges multiple runs
     per group, so splitting is free."""
+    import zlib
+
     import pyarrow as pa
 
     out_schema = pa.schema(
         [
             ("term", pa.string()),
             ("bucket", pa.int32()),
+            ("tpart", pa.int32()),
             ("docs", pa.list_(pa.int64())),
             ("tfs", pa.list_(pa.int32())),
             ("dls", pa.list_(pa.int32())),
@@ -143,9 +160,17 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
             row_of = np.searchsorted(gs, starts_all, side="right") - 1
             bounds = np.append(starts_all, ntot).astype(np.int32)
             off = pa.array(bounds, type=pa.int32())
+            # per-UNIQUE-term hash partition id (|vocab_batch| crc32 calls,
+            # not one per posting) — the file-shuffle routing key
+            crc = zlib.crc32
+            tp_u = np.fromiter(
+                (crc(t.encode("utf-8")) % n_tparts for t in uniq), np.int32, len(uniq)
+            )
+            row_codes = c_s[gs[row_of]]
             cols = [
-                pa.array(uniq[c_s[gs[row_of]]], type=pa.string()),
+                pa.array(uniq[row_codes], type=pa.string()),
                 pa.array(b_s[gs[row_of]].astype(np.int32), type=pa.int32()),
+                pa.array(tp_u[row_codes], type=pa.int32()),
                 pa.ListArray.from_arrays(off, pa.array(rep_ids[order], type=pa.int64())),
                 pa.ListArray.from_arrays(off, pa.array(tfs[order], type=pa.int32())),
                 pa.ListArray.from_arrays(off, pa.array(rep_dls[order], type=pa.int32())),
@@ -200,32 +225,44 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
     ]
     out_schema = pa.schema(out_fields)
 
-    def encode_batch(batch: "pa.RecordBatch") -> "pa.RecordBatch":
-        t0 = time.perf_counter()
-        from pyspark import TaskContext
-
-        tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else -1
-        term_arr = batch.column("term")
-        bucket_np = np.asarray(batch.column("bucket").to_numpy(zero_copy_only=False), dtype=np.int64)
+    def _extract(batch):
+        """One batch/chunk -> (terms_obj, bucket, run_lens, flat arrays).
+        Per-chunk flatten keeps this correct for ANY chunking — a table
+        whose columns cannot combine into one chunk (>2 GiB offsets) is
+        handled by concatenating per-chunk numpy views (round-2 ADVICE:
+        the old to_batches()[0] silently dropped rows past batch 0)."""
         docs_la = batch.column("docs")
         tfs_la = batch.column("tfs")
         dls_la = batch.column("dls")
-        # views where possible — .astype copies unconditionally, and at
-        # 32 threads on one memory controller the encoder is bandwidth-
-        # bound (measured: per-core CPU inflates 1.75x going 8->32)
-        run_lens = np.asarray(pc.list_value_length(docs_la).to_numpy(zero_copy_only=False))
-        flat_d = np.asarray(docs_la.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
-        flat_t = np.asarray(tfs_la.flatten().to_numpy(zero_copy_only=False))
-        flat_l = np.asarray(dls_la.flatten().to_numpy(zero_copy_only=False))
-        # group rows by (term, bucket) WITHOUT requiring sorted input:
-        # dictionary-encode terms (hash, C speed), sort only the unique
-        # strings, rank rows, then one integer sort over group keys.
-        dict_arr = pc.dictionary_encode(
-            term_arr.combine_chunks() if hasattr(term_arr, "combine_chunks") else term_arr
+        return (
+            np.asarray(batch.column("term").to_pandas(), dtype=object),
+            np.asarray(batch.column("bucket").to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(pc.list_value_length(docs_la).to_numpy(zero_copy_only=False)),
+            np.asarray(docs_la.flatten().to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(tfs_la.flatten().to_numpy(zero_copy_only=False)),
+            np.asarray(dls_la.flatten().to_numpy(zero_copy_only=False)),
         )
-        codes = np.asarray(dict_arr.indices.to_numpy(zero_copy_only=False))
-        uniq_terms = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+
+    def _concat_extracted(parts):
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(6))
+
+    def encode_arrays(
+        terms: np.ndarray,
+        bucket_np: np.ndarray,
+        run_lens: np.ndarray,
+        flat_d: np.ndarray,
+        flat_t: np.ndarray,
+        flat_l: np.ndarray,
+        pid: int,
+    ) -> "pa.RecordBatch":
+        t0 = time.perf_counter()
+        # group rows by (term, bucket) WITHOUT requiring sorted input:
+        # factorize terms (hash, C speed), sort only the unique strings,
+        # rank rows, then one integer sort over group keys.
+        codes, uniq_terms = pd.factorize(terms, sort=False)
+        uniq_terms = np.asarray(uniq_terms, dtype=object)
         order_u = np.argsort(uniq_terms, kind="stable")
         rank_u = np.empty(len(uniq_terms), dtype=np.int64)
         rank_u[order_u] = np.arange(len(uniq_terms))
@@ -305,19 +342,184 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
 
     def mapper(batches):
         # materialize the partition's packed runs and encode in ONE pass:
-        # grouping no longer needs runs of a term adjacent (see encode_
-        # batch), so there is no carry-over bookkeeping and no upstream
-        # JVM row sort. Partition size is bounded by n_shuffle sizing.
-        collected = [b for b in batches if b.num_rows]
-        if not collected:
+        # grouping does not need runs of a term adjacent (see
+        # encode_arrays), so there is no carry-over bookkeeping and no
+        # upstream JVM row sort. Partition size is bounded by n_shuffle
+        # sizing. Per-batch numpy extraction + concat is chunking-safe.
+        parts = [_extract(b) for b in batches if b.num_rows]
+        if not parts:
             return
-        if len(collected) == 1:
-            yield encode_batch(collected[0])
-            return
-        tbl = pa.Table.from_batches(collected).combine_chunks()
-        yield encode_batch(tbl.to_batches()[0])
+        from pyspark import TaskContext
 
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        yield encode_arrays(*_concat_extracted(parts), pid=pid)
+
+    mapper.encode_arrays = encode_arrays
+    mapper.extract = _extract
+    mapper.concat_extracted = _concat_extracted
     return mapper
+
+
+TPART_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("tpart", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),  # -1 = lexicon row
+        T.StructField("n_terms", T.LongType(), False),
+        T.StructField("n_postings", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("enc_micros", T.LongType(), False),
+        T.StructField("term_lo", T.StringType(), True),
+        T.StructField("term_hi", T.StringType(), True),
+    ]
+)
+
+
+def make_tpart_build_task(
+    tf_dir: str,
+    staging_idx: str,
+    staging_lex: str,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    row_group_rows: int = 1024,
+):
+    """The FILE-SHUFFLE posting stage (round-3 scaling lever).
+
+    Replaces the live ``repartitionByRange`` exchange: stage tf already
+    wrote packed runs hive-partitioned by ``tpart = crc32(term) %
+    n_tparts``, so every task of ``spark.range(n_tparts)`` (partition i
+    holds exactly id i) can
+
+      1. read its OWN tpart's parquet files directly through pyarrow —
+         no JVM scan, no UnsafeRow materialization, no Arrow IPC of the
+         fat run arrays into the Python worker (the round-2 A/B
+         decomposition measured that conversion pair as the posting
+         stage's residual scaling cost, BENCH/BASELINE.md);
+      2. encode all (term, bucket) groups in one numpy pass (a term
+         lives in exactly one tpart, so one chunk per (term, bucket) —
+         the doc-ordered-concatenation invariant the WAND cursors need
+         is preserved);
+      3. write the encoded chunk files AND its lexicon slice itself
+         (term-sorted, small row groups for query-side row-group
+         pruning) under the driver-provided STAGING dirs, tmp+rename so
+         task retries are idempotent;
+      4. yield only tiny per-(tpart,bucket) stats rows — the driver
+         builds segment manifests from them with zero read-back jobs,
+         then atomically promotes the staging dirs.
+
+    The final layout ``index/bucket=K/tpart=P/part-0.parquet`` is
+    directly addressable at query time: a term's chunks live exactly at
+    ``tpart=crc32(term)%n_tparts`` in every bucket — O(1) directory
+    pruning instead of file min/max range checks.
+
+    Scale notes: executors need pyarrow-reachable storage (local FS
+    here; HDFS/S3 via pyarrow.fs on a real cluster). Per-task memory is
+    one tpart of packed runs — size n_tparts so that ~|postings| *
+    12B / n_tparts fits an executor (raise n_tparts at 10^12 docs the
+    same way n_buckets bounds chunk size)."""
+    enc = make_packed_encoder(avgdl, k1, b, block_size)
+    encode_arrays, extract, concat = enc.encode_arrays, enc.extract, enc.concat_extracted
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("tpart", pa.int32()),
+            ("bucket", pa.int32()),
+            ("n_terms", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("bytes", pa.int64()),
+            ("enc_micros", pa.int64()),
+            ("term_lo", pa.string()),
+            ("term_hi", pa.string()),
+        ]
+    )
+
+    def _write_atomic(tbl: "pa.Table", out_path: str) -> int:
+        tmp = out_path + ".inprogress"
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, tmp, row_group_size=row_group_rows, compression="snappy")
+        os.replace(tmp, out_path)
+        return os.path.getsize(out_path)
+
+    def _one_tpart(tp: int) -> list[tuple]:
+        import pyarrow.dataset as pads
+
+        src = os.path.join(tf_dir, f"tpart={tp}")
+        if not os.path.isdir(src):
+            return []
+        ds = pads.dataset(src, format="parquet")
+        parts = [
+            extract(bt)
+            for bt in ds.to_batches(columns=["term", "bucket", "docs", "tfs", "dls"])
+            if bt.num_rows
+        ]
+        if not parts:
+            return []
+        chunk_batch = encode_arrays(*concat(parts), pid=tp)
+        tbl = pa.Table.from_batches([chunk_batch])
+        bucket_col = np.asarray(tbl.column("bucket").to_numpy(zero_copy_only=False))
+        micros = int(tbl.column("enc_micros").to_pandas().sum())
+        df_col = np.asarray(tbl.column("df_chunk").to_numpy(zero_copy_only=False))
+        total_post = int(df_col.sum())
+        terms_col = np.asarray(tbl.column("term").to_pandas(), dtype=object)
+        rows: list[tuple] = []
+        # -- index chunk files, one per (bucket, tpart) --
+        for k in np.unique(bucket_col):
+            k = int(k)
+            idx = np.flatnonzero(bucket_col == k)
+            sub = tbl.take(pa.array(idx)).drop_columns(["bucket"])  # term order kept
+            out_dir = os.path.join(staging_idx, f"bucket={k}", f"tpart={tp}")
+            os.makedirs(out_dir, exist_ok=True)
+            nbytes = _write_atomic(sub, os.path.join(out_dir, "part-0.parquet"))
+            npost_k = int(df_col[idx].sum())
+            share = micros * npost_k // total_post if total_post else 0
+            rows.append(
+                (tp, k, int(len(idx)), npost_k, nbytes, share,
+                 str(terms_col[idx[0]]), str(terms_col[idx[-1]]))
+            )
+        # -- lexicon slice: term groups are contiguous (term-sorted) --
+        newt = np.empty(len(terms_col), dtype=bool)
+        newt[0] = True
+        newt[1:] = terms_col[1:] != terms_col[:-1]
+        starts = np.flatnonzero(newt)
+        sum_tf = np.asarray(tbl.column("sum_tf").to_numpy(zero_copy_only=False))
+        maxp = np.asarray(tbl.column("max_partial").to_numpy(zero_copy_only=False))
+        nchunks = np.diff(np.append(starts, len(terms_col)))
+        lex = pa.table(
+            {
+                "term": pa.array(terms_col[starts], type=pa.string()),
+                "df": pa.array(np.add.reduceat(df_col, starts), type=pa.int64()),
+                "total_tf": pa.array(np.add.reduceat(sum_tf, starts), type=pa.int64()),
+                "max_partial": pa.array(
+                    np.maximum.reduceat(maxp, starts), type=pa.float32()
+                ),
+                "n_chunks": pa.array(nchunks.astype(np.int64), type=pa.int64()),
+            }
+        )
+        lex_dir = os.path.join(staging_lex, f"tpart={tp}")
+        os.makedirs(lex_dir, exist_ok=True)
+        lex_bytes = _write_atomic(lex, os.path.join(lex_dir, "part-0.parquet"))
+        rows.append(
+            (tp, -1, int(len(starts)), total_post, lex_bytes, micros,
+             str(terms_col[0]), str(terms_col[-1]))
+        )
+        return rows
+
+    def task(batches):
+        for batch in batches:
+            for tp in batch.column("id").to_pylist():
+                rows = _one_tpart(int(tp))
+                if rows:
+                    cols = list(zip(*rows))
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(c, type=f.type) for c, f in zip(cols, out_schema)],
+                        schema=out_schema,
+                    )
+
+    return task
 
 
 def tokens_udf(preset: str):

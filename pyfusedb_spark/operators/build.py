@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 
@@ -50,12 +51,14 @@ from pyspark.sql import functions as F
 from pyfusedb_spark.functions.udfs import (
     CHUNK_SCHEMA_BUCKETED,
     PACKED_TF_SCHEMA,
+    TPART_STATS_SCHEMA,
     make_packed_encoder,
     make_packed_tf_exploder,
+    make_tpart_build_task,
     sha256_col,
 )
 from pyfusedb_spark.operators.ids import assign_doc_ids
-from pyfusedb_spark.sources.catalog import ManifestCatalog
+from pyfusedb_spark.sources.catalog import ManifestCatalog, write_json_atomic
 
 
 @dataclass(frozen=True)
@@ -67,15 +70,21 @@ class IndexConfig:
     n_buckets: int = 8
     compute_norms: bool = True
     shuffle_partitions: int | None = None  # posting-shuffle partitions
-    # "per-bucket": one Spark job per doc-range bucket -> finest resume
-    #   granularity (a killed build loses at most one bucket). Right at
-    #   cluster scale where each bucket job runs minutes.
-    # "single-pass": ONE shuffle job encodes every (term, bucket) group
-    #   and writes all bucket dirs via partitionBy — same on-disk format
-    #   and per-bucket manifests, but the posting phase is a single
-    #   commit/resume unit. Right when per-job fixed costs would dominate
-    #   (small corpora, local mode, benchmarks).
-    posting_mode: str = "per-bucket"
+    # "file-shuffle" (default): tf written hive-partitioned by
+    #   tpart = crc32(term) % n_tparts; the posting stage is
+    #   spark.range(n_tparts) -> mapInArrow tasks that read their own
+    #   tpart's files via pyarrow, encode, and write chunk + lexicon
+    #   files directly (no live exchange, no UnsafeRow<->Arrow pair —
+    #   the round-2 scaling residual). Lexicon folds into the same pass.
+    # "per-bucket": legacy live repartitionByRange exchange, one Spark
+    #   job per doc-range bucket -> finest resume granularity.
+    # "single-pass": legacy live exchange, ONE job for all buckets.
+    posting_mode: str = "file-shuffle"
+    # file-shuffle fan-out; None -> shuffle_partitions or default
+    # parallelism. Bounds per-task memory (one tpart of packed runs) —
+    # raise with corpus size; keep CONSTANT across cluster sizes when
+    # measuring scaling (same work decomposition at N and 4N).
+    n_tparts: int | None = None
 
 
 def _local_agg(sql: str) -> dict:
@@ -200,6 +209,202 @@ def _partition_metrics(final_dir: str) -> list | None:
         return None
 
 
+def _tpart_committed(cat: ManifestCatalog, tp: int) -> bool:
+    """A tpart unit is committed iff its manifest exists AND every data
+    dir it wrote still exists (a deleted slice forces a re-run — the
+    stage-level manifest must never mask missing data)."""
+    m = cat.read_manifest(f"tpart={tp}")
+    if m is None:
+        return False
+    return all(os.path.isdir(d) for d in m.get("data_dirs", []))
+
+
+def _file_shuffle_postings(
+    spark: SparkSession,
+    cat: ManifestCatalog,
+    tf_dir: str,
+    idx_dir: str,
+    lex_dir: str,
+    n_tparts: int,
+    n_docs: int,
+    bucket_span: int,
+    avgdl: float,
+    config: IndexConfig,
+    resume: bool,
+) -> None:
+    """File-shuffle posting + lexicon stage (see IndexConfig docstring
+    and udfs.make_tpart_build_task). Resume granularity is ONE TPART:
+    each tpart commits a `tpart=P` manifest listing its data dirs + per-
+    bucket stats; a killed build reruns only invalid/missing tparts.
+    Aggregate bucket manifests + stage manifests are derived from the
+    tpart manifests (cheap, idempotent, no read-back jobs)."""
+    missing = [
+        tp for tp in range(n_tparts)
+        if not (resume and _tpart_committed(cat, tp))
+    ]
+    secs = 0.0
+    if missing:
+        t0 = time.perf_counter()
+        staging_idx = cat.staging_dir(idx_dir)
+        staging_lex = cat.staging_dir(lex_dir)
+        os.makedirs(staging_idx, exist_ok=True)
+        os.makedirs(staging_lex, exist_ok=True)
+        task = make_tpart_build_task(
+            tf_dir, staging_idx, staging_lex,
+            avgdl, config.k1, config.b, config.block_size,
+        )
+        # one row per partition -> one task per missing tpart, no
+        # exchange anywhere in this job
+        if len(missing) < n_tparts:
+            ids = spark.createDataFrame(
+                [(tp,) for tp in missing], "id long"
+            ).repartition(len(missing))
+        else:
+            ids = spark.range(0, n_tparts, 1, n_tparts)
+        stats_rows = ids.mapInArrow(task, TPART_STATS_SCHEMA).collect()
+        # merge each produced slice dir into the live index/lexicon
+        for name in sorted(os.listdir(staging_idx)):  # bucket=K dirs
+            src_b = os.path.join(staging_idx, name)
+            for tname in sorted(os.listdir(src_b)):  # tpart=P dirs
+                dst = os.path.join(idx_dir, name, tname)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(src_b, tname), dst)
+        for tname in sorted(os.listdir(staging_lex)):
+            dst = os.path.join(lex_dir, tname)
+            os.makedirs(lex_dir, exist_ok=True)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(os.path.join(staging_lex, tname), dst)
+        shutil.rmtree(staging_idx, ignore_errors=True)
+        shutil.rmtree(staging_lex, ignore_errors=True)
+        secs = time.perf_counter() - t0
+        # per-tpart manifests (north rule: per-partition segment lineage
+        # + metrics; a killed build resumes from the last committed one)
+        by_tp: dict[int, dict] = {tp: {"rows": [], "lex": None} for tp in missing}
+        for r in stats_rows:
+            ent = by_tp[int(r["tpart"])]
+            if r["bucket"] == -1:
+                ent["lex"] = {
+                    "n_terms": int(r["n_terms"]),
+                    "n_postings": int(r["n_postings"]),
+                    "bytes": int(r["bytes"]),
+                    "enc_micros": int(r["enc_micros"]),
+                }
+            else:
+                ent["rows"].append(
+                    [int(r["bucket"]), int(r["n_terms"]), int(r["n_postings"]),
+                     int(r["bytes"]), int(r["enc_micros"]),
+                     str(r["term_lo"]), str(r["term_hi"])]
+                )
+        per_secs = secs / max(1, len(missing))
+        for tp in missing:
+            ent = by_tp[tp]
+            dirs = [
+                os.path.join(idx_dir, f"bucket={row[0]}", f"tpart={tp}")
+                for row in ent["rows"]
+            ]
+            if ent["lex"] is not None:
+                dirs.append(os.path.join(lex_dir, f"tpart={tp}"))
+            cat.commit(
+                f"tpart={tp}",
+                {
+                    "data_dir": None,
+                    "data_dirs": dirs,
+                    "tpart": tp,
+                    "rows": ent["rows"],
+                    "lex": ent["lex"],
+                    "seconds": round(per_secs, 3),
+                },
+            )
+    # ---- aggregate manifests from the committed tpart units ----
+    if not (resume and cat.is_committed("stage_postings") and not missing):
+        by_bucket: dict[int, dict] = {}
+        lex_terms = 0
+        lex_postings = 0
+        for tp in range(n_tparts):
+            m = cat.read_manifest(f"tpart={tp}")
+            if m is None:
+                continue
+            if m.get("lex"):
+                lex_terms += m["lex"]["n_terms"]
+                lex_postings += m["lex"]["n_postings"]
+            for k, n_terms, n_post, nbytes, micros, lo, hi in m.get("rows", []):
+                agg = by_bucket.setdefault(
+                    int(k),
+                    {"n_terms": 0, "n_postings": 0, "bytes": 0, "enc_micros": 0,
+                     "term_lo": None, "term_hi": None, "partitions": []},
+                )
+                agg["n_terms"] += int(n_terms)
+                agg["n_postings"] += int(n_post)
+                agg["bytes"] += int(nbytes)
+                agg["enc_micros"] += int(micros)
+                if agg["term_lo"] is None or lo < agg["term_lo"]:
+                    agg["term_lo"] = lo
+                if agg["term_hi"] is None or hi > agg["term_hi"]:
+                    agg["term_hi"] = hi
+                es = int(micros) / 1e6
+                agg["partitions"].append(
+                    [tp, int(n_terms), int(n_post), round(es, 3),
+                     round(int(n_post) / es, 1) if es > 0 else None]
+                )
+        if not by_bucket and not os.path.isdir(lex_dir):
+            _write_empty_lexicon(lex_dir)
+        for k in sorted(by_bucket):
+            agg = by_bucket[k]
+            cat.commit(
+                f"bucket={k}",
+                {
+                    "data_dir": os.path.join(idx_dir, f"bucket={k}"),
+                    "bucket": k,
+                    "doc_id_range": [k * bucket_span, (k + 1) * bucket_span - 1],
+                    "term_range": [agg["term_lo"], agg["term_hi"]],
+                    "n_terms": agg["n_terms"],
+                    "n_postings": agg["n_postings"],
+                    "bytes": agg["bytes"],
+                    "seconds": round(secs, 3),
+                    "postings_per_sec": (
+                        round(agg["n_postings"] / secs, 1) if secs > 0 else None
+                    ),
+                    "encode_cpu_seconds": round(agg["enc_micros"] / 1e6, 3),
+                    "partitions": sorted(agg["partitions"]),
+                },
+            )
+        cat.commit(
+            "stage_postings",
+            {"data_dir": idx_dir, "seconds": round(secs, 3),
+             "mode": "file-shuffle", "n_tparts": n_tparts},
+        )
+        # lexicon was folded into the same pass (a term lives in exactly
+        # ONE tpart, so each task writes its final lexicon slice)
+        cat.commit(
+            "stage_lexicon",
+            {"data_dir": lex_dir, "vocabulary": lex_terms,
+             "n_postings": lex_postings, "seconds": 0.0,
+             "folded_into": "stage_postings"},
+        )
+
+
+def _write_empty_lexicon(lex_dir: str) -> None:
+    """Empty-corpus edge: downstream readers need at least one parquet
+    file with the lexicon schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(lex_dir, exist_ok=True)
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "total_tf": pa.array([], pa.int64()),
+            "max_partial": pa.array([], pa.float32()),
+            "n_chunks": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, os.path.join(lex_dir, "part-0.parquet"))
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -252,6 +457,13 @@ def build_index(
     #      clusters / non-local filesystems).
     m_tf = cat.read_manifest("stage_tf") if resume else None
     ds_sha_dir = os.path.join(out_dir, "doc_sha")
+    n_tparts_cfg = None
+    if config.posting_mode == "file-shuffle":
+        n_tparts_cfg = (
+            config.n_tparts
+            or config.shuffle_partitions
+            or spark.sparkContext.defaultParallelism
+        )
     if m_tf is None:
         t0 = time.perf_counter()
         _dbg = os.environ.get("PYFUSEDB_TIMING") == "1"
@@ -297,19 +509,26 @@ def build_index(
 
             print(f"[tf] sha/ids done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         # -- job B: tokenize + explode in one Arrow pass --
-        # per-bucket mode needs hive bucket dirs (its jobs filter
-        # bucket == k -> directory pruning); single-pass groups on the
-        # bucket COLUMN and reads everything once, so skip partitionBy —
-        # 4x fewer output files, much lighter job commit
+        # file-shuffle routes runs to hive tpart dirs (the encoder tasks
+        # read those dirs narrowly — the 'file shuffle'); per-bucket mode
+        # needs hive bucket dirs (its jobs filter bucket == k ->
+        # directory pruning); single-pass groups on the bucket COLUMN and
+        # reads everything once, so skip partitionBy — fewer output
+        # files, much lighter job commit
         tf_writer = (
             docs.select(F.col("doc_id").cast("long").alias("doc_id"), content_col)
             .mapInArrow(
-                make_packed_tf_exploder(config.preset, bucket_span, content_col),
+                make_packed_tf_exploder(
+                    config.preset, bucket_span, content_col,
+                    n_tparts=n_tparts_cfg or 1,
+                ),
                 PACKED_TF_SCHEMA,
             )
             .write.mode("overwrite")
         )
-        if config.posting_mode != "single-pass":
+        if config.posting_mode == "file-shuffle":
+            tf_writer = tf_writer.partitionBy("tpart")
+        elif config.posting_mode != "single-pass":
             tf_writer = tf_writer.partitionBy("bucket")
         tf_writer.parquet(tf_dir)
         if _dbg:
@@ -327,6 +546,7 @@ def build_index(
             "n_docs": n_docs,
             "max_doc_id": max_id,
             "bucket_span": bucket_span,
+            "n_tparts": n_tparts_cfg,
             "seconds": round(secs, 3),
             "docs_per_sec": round(n_docs / secs, 1) if secs > 0 else None,
         }
@@ -334,6 +554,13 @@ def build_index(
 
     n_docs = m_tf["n_docs"]
     bucket_span = m_tf["bucket_span"]
+    # tf layout is fixed at tf-write time: resuming a legacy (pre-tpart)
+    # index with a file-shuffle config falls back to the single-pass
+    # live exchange, which reads either legacy layout correctly
+    n_tparts = m_tf.get("n_tparts")
+    posting_mode = config.posting_mode
+    if posting_mode == "file-shuffle" and not n_tparts:
+        posting_mode = "single-pass"
 
     # ---------------- stage stats ----------------
     m_stats = cat.read_manifest("stage_stats") if resume else None
@@ -466,7 +693,12 @@ def build_index(
             "partitions": _partition_metrics(final_dir),
         }
 
-    if config.posting_mode == "single-pass":
+    if posting_mode == "file-shuffle":
+        _file_shuffle_postings(
+            spark, cat, tf_dir, idx_dir, lex_dir, n_tparts, n_docs,
+            bucket_span, avgdl, config, resume,
+        )
+    elif posting_mode == "single-pass":
         if not (resume and cat.is_committed("stage_postings")):
             t0 = time.perf_counter()
             tf_all = spark.read.parquet(tf_dir)
@@ -503,7 +735,10 @@ def build_index(
             _build_bucket(k)
 
     # ---------------- lexicon ----------------
-    m_lex = cat.read_manifest("stage_lexicon") if resume else None
+    # read unconditionally: with resume=False every manifest was
+    # uncommitted at function start, so a present manifest was committed
+    # THIS run (file-shuffle folds the lexicon into the posting pass)
+    m_lex = cat.read_manifest("stage_lexicon")
     if m_lex is None:
         t0 = time.perf_counter()
         if not _lexicon_local(idx_dir, lex_dir, cat):
@@ -561,21 +796,29 @@ def build_index(
         )
 
     tok_secs = m_tf.get("seconds")
+    # resume of an index whose stage_stats manifest predates the
+    # total_len key: reconstruct from avgdl (mirrors streaming's
+    # _resolve_base_stats legacy handling)
+    total_len = m_stats.get("total_len")
+    if total_len is None:
+        total_len = int(round(avgdl * n_docs))
     stats = {
         "format_version": 1,
         "config": asdict(config),
         "max_doc_id": m_tf.get("max_doc_id"),
+        # query side keys tpart directory addressing off this (None ->
+        # legacy term-range file layout, no tpart filter applied)
+        "n_tparts": n_tparts,
         "tokens_per_sec": (
-            round(m_stats["total_len"] / tok_secs, 1) if tok_secs else None
+            round(total_len / tok_secs, 1) if tok_secs else None
         ),
         "n_docs": n_docs,
         "avgdl": avgdl,
-        "total_len": m_stats["total_len"],
+        "total_len": total_len,
         "bucket_span": bucket_span,
         "vocabulary": m_lex["vocabulary"],
         "n_postings": m_lex["n_postings"],
         "sha256_lineage_sum": m_stats["sha256_lineage_sum"],
     }
-    with open(stats_path, "w") as f:
-        json.dump(stats, f, indent=1, sort_keys=True)
+    write_json_atomic(stats_path, stats)
     return stats

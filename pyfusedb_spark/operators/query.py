@@ -105,7 +105,14 @@ class FuseIndex:
         except OSError:
             return
         if (st.st_mtime_ns, st.st_size) != self._stats_sig:
-            self._load_stats()  # also resets _pa_index/_lexicon_pd/_norms caches
+            try:
+                self._load_stats()  # also resets _pa_index/_lexicon_pd/_norms caches
+            except (json.JSONDecodeError, OSError):
+                # stats.json writes are tmp+os.replace atomic, but a
+                # non-posix filesystem could still surface a torn read:
+                # keep serving the previous stats; the next search
+                # re-stats and retries
+                pass
 
     # -- lazy DataFrames ----------------------------------------------------
     @property
@@ -152,9 +159,17 @@ class FuseIndex:
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
 
-            tbl = pads.dataset(
-                os.path.join(self.out_dir, "lexicon"), format="parquet"
-            ).to_table(filter=pc.field("term").isin(terms), columns=["term", "df"])
+            ds = pads.dataset(
+                os.path.join(self.out_dir, "lexicon"), format="parquet",
+                partitioning="hive",
+            )
+            flt = pc.field("term").isin(terms)
+            tparts = self._tpart_filter_vals(terms)
+            # schema guard: a streaming delta-merge rewrites the lexicon
+            # flat, so tpart may be gone even when the index has it
+            if tparts is not None and "tpart" in ds.schema.names:
+                flt = pc.field("tpart").isin(tparts) & flt
+            tbl = ds.to_table(filter=flt, columns=["term", "df"])
             return dict(
                 zip(tbl.column("term").to_pylist(),
                     (int(x) for x in tbl.column("df").to_pylist()))
@@ -211,7 +226,19 @@ class FuseIndex:
             .reset_index(drop=True)
         )
 
+    def _tpart_filter_vals(self, terms: list[str]) -> list[int] | None:
+        """Hash-partition ids covering `terms` for a tpart-layout index
+        (index/bucket=K/tpart=P dirs, build.py file-shuffle mode) —
+        O(1) directory addressing per term. None = legacy layout."""
+        n = self.stats.get("n_tparts")
+        if not n:
+            return None
+        from pyfusedb_spark.functions.udfs import term_tpart
+
+        return sorted({term_tpart(t, int(n)) for t in terms})
+
     def _fetch_chunks_uncached(self, terms: list[str]) -> pd.DataFrame:
+        tparts = self._tpart_filter_vals(terms)
         try:
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
@@ -222,12 +249,18 @@ class FuseIndex:
                     format="parquet",
                     partitioning="hive",
                 )
+            flt = pc.field("term").isin(terms)
+            if tparts is not None and "tpart" in self._pa_index.schema.names:
+                flt = pc.field("tpart").isin(tparts) & flt
             pdf = self._pa_index.to_table(
-                filter=pc.field("term").isin(terms), columns=list(self._CHUNK_COLS)
+                filter=flt, columns=list(self._CHUNK_COLS)
             ).to_pandas()
         except Exception:
+            df = self.index_df
+            if tparts is not None:
+                df = df.where(F.col("tpart").isin(tparts))
             pdf = (
-                self.index_df.where(F.col("term").isin(terms))
+                df.where(F.col("term").isin(terms))
                 .select(*self._CHUNK_COLS)
                 .toPandas()
             )
@@ -660,7 +693,11 @@ class FuseIndex:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        chunks = self.index_df.where(F.col("term").isin(terms)).select(
+        chunks = self.index_df
+        tparts = self._tpart_filter_vals(terms)
+        if tparts is not None:  # hive partition pruning on tpart dirs
+            chunks = chunks.where(F.col("tpart").isin(tparts))
+        chunks = chunks.where(F.col("term").isin(terms)).select(
             "term", "df_chunk", "payload"
         )
         scored = chunks.mapInPandas(decode_score, contrib_schema)

@@ -32,6 +32,18 @@ import shutil
 import uuid
 
 
+def write_json_atomic(path: str, payload: dict) -> None:
+    """tmp + os.replace JSON write — readers never observe a torn file.
+
+    Used for stats.json (rewritten per streaming micro-batch while a
+    held-open FuseIndex re-reads it on every search) and any other
+    sidecar JSON that has live readers."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
 class ManifestCatalog:
     def __init__(self, root: str):
         self.root = root

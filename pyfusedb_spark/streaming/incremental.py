@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pyfusedb_spark.functions.udfs import CHUNK_SCHEMA, make_chunk_encoder, sha256_col, term_freqs_udf
 from pyfusedb_spark.operators.build import IndexConfig
-from pyfusedb_spark.sources.catalog import ManifestCatalog
+from pyfusedb_spark.sources.catalog import ManifestCatalog, write_json_atomic
 
 WAND_AVGDL_TOLERANCE = 0.01  # 1% drift disables block-max pruning
 
@@ -57,6 +57,12 @@ class IncrementalIndexWriter:
         os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
         os.makedirs(os.path.join(out_dir, "doc_stats"), exist_ok=True)
         self.last_refresh_input_files: list[str] = []
+        # follow the base index's posting layout: a file-shuffle-built
+        # index has index/bucket=K/tpart=P dirs and FuseIndex addresses
+        # fetches by tpart — appended segments must land in matching
+        # tpart dirs (mixed hive depths would break dataset discovery).
+        # Fresh stream-only indexes keep the legacy flat layout.
+        self.n_tparts = self._current_stats().get("n_tparts")
         self._base_stats = self._resolve_base_stats()
 
     def _resolve_base_stats(self) -> dict:
@@ -145,7 +151,16 @@ class IncrementalIndexWriter:
         )
         final_dir = os.path.join(self.out_dir, "index", f"bucket={1_000_000 + batch_id}")
         staging = self.cat.staging_dir(final_dir)
-        chunks.write.mode("overwrite").parquet(staging)
+        writer = chunks.write.mode("overwrite")
+        if self.n_tparts:
+            # JVM-side mirror of udfs.term_tpart (crc32 == zlib.crc32,
+            # parity asserted in tests) -> hive tpart dirs like the base
+            chunks = chunks.withColumn(
+                "tpart",
+                F.pmod(F.crc32(F.encode(F.col("term"), "UTF-8")), F.lit(int(self.n_tparts))).cast("int"),
+            )
+            writer = chunks.write.mode("overwrite").partitionBy("tpart")
+        writer.parquet(staging)
         self.cat.promote_dir(staging, final_dir)
         tok.unpersist()
         self.cat.commit(
@@ -267,9 +282,11 @@ class IncrementalIndexWriter:
             "wand_safe": bool(drift <= WAND_AVGDL_TOLERANCE),
             "avgdl_drift": drift,
             "last_batch_id": batch_id,
+            "n_tparts": self.n_tparts,  # preserve tpart addressing
         }
-        with open(os.path.join(self.out_dir, "stats.json"), "w") as f:
-            json.dump(stats, f, indent=1, sort_keys=True)
+        # atomic: a FuseIndex held open across appends re-stats and
+        # re-reads this file on every search (query.py _refresh_if_stale)
+        write_json_atomic(os.path.join(self.out_dir, "stats.json"), stats)
 
 
 def index_stream_availablenow(

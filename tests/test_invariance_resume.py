@@ -51,11 +51,13 @@ def test_invariance_under_partitioning_and_salt(spark, tmp_path):
 
 
 def test_kill_resume(spark, tmp_path):
+    """Per-bucket posting mode: the resume unit is one doc-range bucket
+    segment (file-shuffle's per-tpart analog is tested below)."""
     corpus = spark.createDataFrame(
         [(i, c) for i, c in enumerate(PANGRAMS)], "doc_id long, content string"
     )
     out = str(tmp_path / "resume")
-    cfg = IndexConfig(n_buckets=4, shuffle_partitions=4)
+    cfg = IndexConfig(n_buckets=4, shuffle_partitions=4, posting_mode="per-bucket")
     build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg)
     idx = FuseIndex(spark, out)
     before = _search_all(idx)
@@ -81,6 +83,82 @@ def test_kill_resume(spark, tmp_path):
         )
     after = _search_all(FuseIndex(spark, out))
     assert before == after
+
+
+def test_kill_resume_file_shuffle(spark, tmp_path):
+    """File-shuffle posting mode: the resume unit is one TPART (a term-
+    hash slice spanning every bucket). Deleting one tpart's slices +
+    manifest must rebuild exactly that tpart and leave the other tparts'
+    files untouched, and the resumed index must answer identically."""
+    import glob
+
+    corpus = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS)], "doc_id long, content string"
+    )
+    out = str(tmp_path / "resume_fs")
+    cfg = IndexConfig(n_buckets=2, shuffle_partitions=4, n_tparts=4,
+                      posting_mode="file-shuffle")
+    build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg)
+    idx = FuseIndex(spark, out)
+    before = _search_all(idx)
+
+    victim = 1
+    for d in glob.glob(os.path.join(out, "index", "bucket=*", f"tpart={victim}")):
+        shutil.rmtree(d)
+    shutil.rmtree(os.path.join(out, "lexicon", f"tpart={victim}"), ignore_errors=True)
+    os.remove(os.path.join(out, "_manifests", f"tpart={victim}.json"))
+
+    untouched = {
+        p: os.path.getmtime(p)
+        for tp in (0, 2, 3)
+        for p in glob.glob(os.path.join(out, "index", "bucket=*", f"tpart={tp}", "*.parquet"))
+    }
+    assert untouched, "expected surviving tpart slices"
+
+    build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg, resume=True)
+
+    for p, mtime in untouched.items():
+        assert os.path.getmtime(p) == mtime, f"{p} was rebuilt but should have been skipped"
+    assert glob.glob(os.path.join(out, "index", "bucket=*", f"tpart={victim}")), (
+        "victim tpart was not rebuilt"
+    )
+    after = _search_all(FuseIndex(spark, out))
+    assert before == after
+
+
+def test_kill_resume_file_shuffle_masked_stage_manifest(spark, tmp_path):
+    """A committed stage_postings manifest must never mask deleted tpart
+    data (the stage unit validates every tpart's data dirs)."""
+    corpus = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS)], "doc_id long, content string"
+    )
+    out = str(tmp_path / "resume_fs2")
+    cfg = IndexConfig(n_buckets=2, shuffle_partitions=4, n_tparts=4,
+                      posting_mode="file-shuffle")
+    build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg)
+    before = _search_all(FuseIndex(spark, out))
+    import glob
+
+    for d in glob.glob(os.path.join(out, "index", "bucket=*", "tpart=2")):
+        shutil.rmtree(d)  # data gone, manifests (incl. stage) all intact
+    build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg, resume=True)
+    assert _search_all(FuseIndex(spark, out)) == before
+
+
+def test_tpart_crc32_parity(spark):
+    """udfs.term_tpart (zlib.crc32) must equal the JVM expression used by
+    streaming appends — pmod(crc32(encode(term,'utf-8')), n)."""
+    from pyspark.sql import functions as F
+
+    from pyfusedb_spark.functions.udfs import term_tpart
+
+    terms = ["return", "mergeSegment", "a", "_x9", "ünïcode", "日本語", ""]
+    df = spark.createDataFrame([(t,) for t in terms], "term string").withColumn(
+        "tp", F.pmod(F.crc32(F.encode(F.col("term"), "UTF-8")), F.lit(16)).cast("int")
+    )
+    jvm = {r["term"]: r["tp"] for r in df.collect()}
+    for t in terms:
+        assert jvm[t] == term_tpart(t, 16), t
 
 
 def test_synthetic_corpus_deterministic_and_invariant(spark):
