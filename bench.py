@@ -105,11 +105,17 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
         "noop"
     ).mode("overwrite").save()
     corpus.limit(2000).count()  # touch the corpus files too
+    # posting mode A/B knob; file-shuffle is the production default.
+    # n_tparts is FIXED (not cpus-derived) so the N->4N scaling pair
+    # measures the same work decomposition at both parallelism levels.
+    mode = os.environ.get("BENCH_POSTING_MODE", "file-shuffle")
+    n_tparts = int(os.environ.get("BENCH_N_TPARTS", "32"))
     t0 = time.perf_counter()
     build_index(
         spark, corpus, sdir, doc_id_col="doc_id",
         config=IndexConfig(preset="code", n_buckets=4, compute_norms=False,
-                           shuffle_partitions=cpus, posting_mode="single-pass"),
+                           shuffle_partitions=cpus, posting_mode=mode,
+                           n_tparts=n_tparts),
         resume=False,
     )
     secs = time.perf_counter() - t0

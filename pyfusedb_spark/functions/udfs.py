@@ -112,6 +112,63 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
         ]
     )
 
+    def pack_batch(ids: np.ndarray, counters: list) -> "pa.RecordBatch | None":
+        lens = np.fromiter((sum(c.values()) for c in counters), np.int64, len(counters))
+        reps = np.fromiter((len(c) for c in counters), np.int64, len(counters))
+        ntot = int(reps.sum())
+        if ntot == 0:
+            return None
+        rep_ids = np.repeat(ids, reps)
+        rep_dls = np.repeat(lens, reps).astype(np.int32)
+        rep_bkt = (rep_ids // bucket_span).astype(np.int64)
+        terms = np.empty(ntot, dtype=object)
+        i = 0
+        for c in counters:
+            k = len(c)
+            terms[i : i + k] = list(c.keys())
+            i += k
+        tfs = np.fromiter((v for c in counters for v in c.values()), np.int32, ntot)
+        codes, uniq = pd.factorize(terms, sort=False)
+        uniq = np.asarray(uniq, dtype=object)
+        order = np.lexsort((rep_bkt, codes))  # primary: term code, secondary: bucket
+        c_s = codes[order]
+        b_s = rep_bkt[order]
+        newg = np.empty(ntot, dtype=bool)
+        newg[0] = True
+        newg[1:] = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
+        gs = np.flatnonzero(newg)
+        glens = np.diff(np.append(gs, ntot))
+        big = np.flatnonzero(glens > _MAX_RUN)
+        if big.size:
+            extra = np.concatenate(
+                [
+                    np.arange(gs[i] + _MAX_RUN, gs[i] + glens[i], _MAX_RUN)
+                    for i in big
+                ]
+            )
+            starts_all = np.sort(np.concatenate([gs, extra]))
+        else:
+            starts_all = gs
+        row_of = np.searchsorted(gs, starts_all, side="right") - 1
+        bounds = np.append(starts_all, ntot).astype(np.int32)
+        off = pa.array(bounds, type=pa.int32())
+        # per-UNIQUE-term hash partition id (|vocab_batch| crc32 calls,
+        # not one per posting) — the file-shuffle routing key
+        crc = zlib.crc32
+        tp_u = np.fromiter(
+            (crc(t.encode("utf-8")) % n_tparts for t in uniq), np.int32, len(uniq)
+        )
+        row_codes = c_s[gs[row_of]]
+        cols = [
+            pa.array(uniq[row_codes], type=pa.string()),
+            pa.array(b_s[gs[row_of]].astype(np.int32), type=pa.int32()),
+            pa.array(tp_u[row_codes], type=pa.int32()),
+            pa.ListArray.from_arrays(off, pa.array(rep_ids[order], type=pa.int64())),
+            pa.ListArray.from_arrays(off, pa.array(tfs[order], type=pa.int32())),
+            pa.ListArray.from_arrays(off, pa.array(rep_dls[order], type=pa.int32())),
+        ]
+        return pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
     def pack(batches):
         az = _get_analyzer(preset)
         analyze = az.analyze
@@ -120,64 +177,116 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
                 continue
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
             contents = batch.column(content_col).to_pylist()
-            counters = [Counter(analyze(c or "")) for c in contents]
-            lens = np.fromiter((sum(c.values()) for c in counters), np.int64, len(counters))
-            reps = np.fromiter((len(c) for c in counters), np.int64, len(counters))
-            ntot = int(reps.sum())
-            if ntot == 0:
-                continue
-            rep_ids = np.repeat(ids, reps)
-            rep_dls = np.repeat(lens, reps).astype(np.int32)
-            rep_bkt = (rep_ids // bucket_span).astype(np.int64)
-            terms = np.empty(ntot, dtype=object)
-            i = 0
-            for c in counters:
-                k = len(c)
-                terms[i : i + k] = list(c.keys())
-                i += k
-            tfs = np.fromiter((v for c in counters for v in c.values()), np.int32, ntot)
-            codes, uniq = pd.factorize(terms, sort=False)
-            uniq = np.asarray(uniq, dtype=object)
-            order = np.lexsort((rep_bkt, codes))  # primary: term code, secondary: bucket
-            c_s = codes[order]
-            b_s = rep_bkt[order]
-            newg = np.empty(ntot, dtype=bool)
-            newg[0] = True
-            newg[1:] = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
-            gs = np.flatnonzero(newg)
-            glens = np.diff(np.append(gs, ntot))
-            big = np.flatnonzero(glens > _MAX_RUN)
-            if big.size:
-                extra = np.concatenate(
-                    [
-                        np.arange(gs[i] + _MAX_RUN, gs[i] + glens[i], _MAX_RUN)
-                        for i in big
-                    ]
-                )
-                starts_all = np.sort(np.concatenate([gs, extra]))
-            else:
-                starts_all = gs
-            row_of = np.searchsorted(gs, starts_all, side="right") - 1
-            bounds = np.append(starts_all, ntot).astype(np.int32)
-            off = pa.array(bounds, type=pa.int32())
-            # per-UNIQUE-term hash partition id (|vocab_batch| crc32 calls,
-            # not one per posting) — the file-shuffle routing key
-            crc = zlib.crc32
-            tp_u = np.fromiter(
-                (crc(t.encode("utf-8")) % n_tparts for t in uniq), np.int32, len(uniq)
-            )
-            row_codes = c_s[gs[row_of]]
-            cols = [
-                pa.array(uniq[row_codes], type=pa.string()),
-                pa.array(b_s[gs[row_of]].astype(np.int32), type=pa.int32()),
-                pa.array(tp_u[row_codes], type=pa.int32()),
-                pa.ListArray.from_arrays(off, pa.array(rep_ids[order], type=pa.int64())),
-                pa.ListArray.from_arrays(off, pa.array(tfs[order], type=pa.int32())),
-                pa.ListArray.from_arrays(off, pa.array(rep_dls[order], type=pa.int32())),
-            ]
-            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+            rb = pack_batch(ids, [Counter(analyze(c or "")) for c in contents])
+            if rb is not None:
+                yield rb
 
+    pack.pack_batch = pack_batch
     return pack
+
+
+TF_TASK_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+    ]
+)
+
+
+def make_tf_fused_task(
+    preset: str,
+    bucket_span: int,
+    content_col: str,
+    n_tparts: int,
+    staging_tf: str,
+    staging_sha: str,
+):
+    """Fused map-side stage for the file-shuffle build: ONE corpus scan
+    that tokenizes, packs partial posting runs, computes sha256 lineage,
+    and writes BOTH outputs itself with pyarrow —
+
+      staging_tf/tpart=P/part-<pid>.parquet   packed runs (hive tpart)
+      staging_sha/part-<pid>.parquet          (doc_id, sha256)
+
+    This is the map side of a classic shuffle-file exchange, expressed
+    as parquet: each task keeps one open ParquetWriter per tpart (one
+    row group per Arrow batch) and renames files into place on close, so
+    retries are idempotent. It replaces (a) a SECOND full corpus scan
+    the JVM sha256 job used to make and (b) Spark's dynamic-partition
+    writer, whose per-row fan-out dispatch on fat array rows measured
+    ~3s/150k docs over a plain write. hashlib sha256 of the UTF-8 bytes
+    is bit-identical to F.sha2(col, 256) and DuckDB's sha256 (oracle-
+    checked). Task fan-out: n_scan_tasks x n_tparts files — bound
+    n_tparts accordingly (same knob as encoder memory)."""
+    packer = make_packed_tf_exploder(preset, bucket_span, content_col, n_tparts)
+    pack_batch = packer.pack_batch
+    import pyarrow as pa
+
+    out_schema = pa.schema([("pid", pa.int32()), ("n_docs", pa.int64())])
+
+    def run(batches):
+        import hashlib
+
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        az = _get_analyzer(preset)
+        analyze = az.analyze
+        writers: dict[int, "pq.ParquetWriter"] = {}
+        paths: dict[int, tuple[str, str]] = {}
+        sha_writer = None
+        sha_paths = None
+        ndocs = 0
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            contents = batch.column(content_col).to_pylist()
+            shas = [
+                hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in contents
+            ]
+            sha_tbl = pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "sha256": pa.array(shas, pa.string())}
+            )
+            if sha_writer is None:
+                os.makedirs(staging_sha, exist_ok=True)
+                tmp = os.path.join(staging_sha, f".part-{pid:05d}.inprogress")
+                sha_paths = (tmp, os.path.join(staging_sha, f"part-{pid:05d}.parquet"))
+                sha_writer = pq.ParquetWriter(tmp, sha_tbl.schema, compression="snappy")
+            sha_writer.write_table(sha_tbl)
+            ndocs += len(ids)
+            rb = pack_batch(ids, [Counter(analyze(c or "")) for c in contents])
+            if rb is None:
+                continue
+            tps = np.asarray(rb.column("tpart").to_numpy(zero_copy_only=False))
+            tbl = pa.Table.from_batches([rb]).drop_columns(["tpart"])
+            for tp in np.unique(tps):
+                tp = int(tp)
+                sub = tbl.take(pa.array(np.flatnonzero(tps == tp)))
+                w = writers.get(tp)
+                if w is None:
+                    d = os.path.join(staging_tf, f"tpart={tp}")
+                    os.makedirs(d, exist_ok=True)
+                    tmp = os.path.join(d, f".part-{pid:05d}.inprogress")
+                    paths[tp] = (tmp, os.path.join(d, f"part-{pid:05d}.parquet"))
+                    w = pq.ParquetWriter(tmp, sub.schema, compression="snappy")
+                    writers[tp] = w
+                w.write_table(sub)
+        for w in writers.values():
+            w.close()
+        if sha_writer is not None:
+            sha_writer.close()
+            os.replace(*sha_paths)
+        for tmp, fin in paths.values():
+            os.replace(tmp, fin)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], pa.int32()), pa.array([ndocs], pa.int64())],
+            schema=out_schema,
+        )
+
+    return run
 
 
 def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):

@@ -51,9 +51,11 @@ from pyspark.sql import functions as F
 from pyfusedb_spark.functions.udfs import (
     CHUNK_SCHEMA_BUCKETED,
     PACKED_TF_SCHEMA,
+    TF_TASK_SCHEMA,
     TPART_STATS_SCHEMA,
     make_packed_encoder,
     make_packed_tf_exploder,
+    make_tf_fused_task,
     make_tpart_build_task,
     sha256_col,
 )
@@ -487,52 +489,81 @@ def build_index(
             par = spark.sparkContext.defaultParallelism
             if docs.rdd.getNumPartitions() < par:
                 docs = docs.repartition(par)
-        # -- job A: sha256 lineage (JVM-only) --
-        (sha_src if sha_src is not None else docs).select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            sha256_col(content_col).alias("sha256"),
-        ).write.mode("overwrite").parquet(ds_sha_dir)
-        if doc_id_col is not None:
-            row = _local_agg(
-                f"SELECT count(*)::BIGINT AS n, coalesce(max(doc_id), 0)::BIGINT AS m "
-                f"FROM '{ds_sha_dir}/*.parquet'"
-            )
-            if row is None:
-                r = spark.read.parquet(ds_sha_dir).agg(
+        if config.posting_mode == "file-shuffle":
+            # FUSED single corpus scan (udfs.make_tf_fused_task): the
+            # task tokenizes, packs runs into tpart files AND computes
+            # sha256 lineage itself — the legacy path's separate JVM
+            # sha256 job re-scanned the whole corpus, and Spark's
+            # dynamic-partition writer paid a per-row fan-out on fat
+            # array rows. bucket_span needs max_id up front: a column-
+            # pruned agg over doc_id alone (no content read).
+            if doc_id_col is not None:
+                r = docs.agg(
                     F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("m")
                 ).collect()[0]
-                row = {"n": r["n"], "m": r["m"] or 0}
-            n_docs, max_id = int(row["n"]), int(row["m"])
-        bucket_span = max(1, math.ceil((max_id + 1) / config.n_buckets))
-        if _dbg:
-            import sys
-
-            print(f"[tf] sha/ids done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        # -- job B: tokenize + explode in one Arrow pass --
-        # file-shuffle routes runs to hive tpart dirs (the encoder tasks
-        # read those dirs narrowly — the 'file shuffle'); per-bucket mode
-        # needs hive bucket dirs (its jobs filter bucket == k ->
-        # directory pruning); single-pass groups on the bucket COLUMN and
-        # reads everything once, so skip partitionBy — fewer output
-        # files, much lighter job commit
-        tf_writer = (
-            docs.select(F.col("doc_id").cast("long").alias("doc_id"), content_col)
-            .mapInArrow(
-                make_packed_tf_exploder(
+                n_docs, max_id = int(r["n"]), int(r["m"] or 0)
+            bucket_span = max(1, math.ceil((max_id + 1) / config.n_buckets))
+            staging_tf = cat.staging_dir(tf_dir)
+            staging_sha = cat.staging_dir(ds_sha_dir)
+            os.makedirs(staging_tf, exist_ok=True)
+            os.makedirs(staging_sha, exist_ok=True)
+            docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"), content_col
+            ).mapInArrow(
+                make_tf_fused_task(
                     config.preset, bucket_span, content_col,
-                    n_tparts=n_tparts_cfg or 1,
+                    n_tparts_cfg, staging_tf, staging_sha,
                 ),
-                PACKED_TF_SCHEMA,
+                TF_TASK_SCHEMA,
+            ).collect()
+            cat.promote_dir(staging_tf, tf_dir)
+            cat.promote_dir(staging_sha, ds_sha_dir)
+            if _dbg:
+                import sys
+
+                print(f"[tf] fused scan done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        else:
+            # -- job A: sha256 lineage (JVM-only) --
+            (sha_src if sha_src is not None else docs).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                sha256_col(content_col).alias("sha256"),
+            ).write.mode("overwrite").parquet(ds_sha_dir)
+            if doc_id_col is not None:
+                row = _local_agg(
+                    f"SELECT count(*)::BIGINT AS n, coalesce(max(doc_id), 0)::BIGINT AS m "
+                    f"FROM '{ds_sha_dir}/*.parquet'"
+                )
+                if row is None:
+                    r = spark.read.parquet(ds_sha_dir).agg(
+                        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("m")
+                    ).collect()[0]
+                    row = {"n": r["n"], "m": r["m"] or 0}
+                n_docs, max_id = int(row["n"]), int(row["m"])
+            bucket_span = max(1, math.ceil((max_id + 1) / config.n_buckets))
+            if _dbg:
+                import sys
+
+                print(f"[tf] sha/ids done at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            # -- job B: tokenize + explode in one Arrow pass --
+            # per-bucket mode needs hive bucket dirs (its jobs filter
+            # bucket == k -> directory pruning); single-pass groups on
+            # the bucket COLUMN and reads everything once, so skip
+            # partitionBy — fewer output files, much lighter job commit
+            tf_writer = (
+                docs.select(F.col("doc_id").cast("long").alias("doc_id"), content_col)
+                .mapInArrow(
+                    make_packed_tf_exploder(
+                        config.preset, bucket_span, content_col, n_tparts=1
+                    ),
+                    PACKED_TF_SCHEMA,
+                )
+                .write.mode("overwrite")
             )
-            .write.mode("overwrite")
-        )
-        if config.posting_mode == "file-shuffle":
-            tf_writer = tf_writer.partitionBy("tpart")
-        elif config.posting_mode != "single-pass":
-            tf_writer = tf_writer.partitionBy("bucket")
-        tf_writer.parquet(tf_dir)
-        if _dbg:
-            print(f"[tf] tf rows written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            if config.posting_mode != "single-pass":
+                tf_writer = tf_writer.partitionBy("bucket")
+            tf_writer.parquet(tf_dir)
+            if _dbg:
+                print(f"[tf] tf rows written at +{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         cache = getattr(docs, "_pyfusedb_cache", None)
         if cache is not None:
             cache.unpersist()
@@ -571,7 +602,9 @@ def build_index(
         row = _local_agg(
             f"SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl, "
             f"coalesce(sum(doc_len), 0)::BIGINT AS total_len, "
-            f"coalesce(sum(('0x' || substring(sha256, 1, 15))::BIGINT), 0)::HUGEINT AS lineage "
+            # ::VARCHAR keeps the HUGEINT exact through pandas (a bare
+            # HUGEINT converts to float64 and silently rounds low digits)
+            f"coalesce(sum(('0x' || substring(sha256, 1, 15))::BIGINT), 0)::HUGEINT::VARCHAR AS lineage "
             f"FROM '{ds_dir}/*.parquet'"
         )
         if row is None:
