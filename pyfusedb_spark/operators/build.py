@@ -221,6 +221,28 @@ def _tpart_committed(cat: ManifestCatalog, tp: int) -> bool:
     return all(os.path.isdir(d) for d in m.get("data_dirs", []))
 
 
+def _lexicon_vocab_exact(spark: SparkSession, lex_dir: str) -> int:
+    """Distinct-term count over the lexicon slices. With bucket-salted
+    routing (tpart_spread > 1) a term's lexicon rows span up to `spread`
+    slices, so per-slice row counts over-count; one narrow distinct over
+    the (small) lexicon fixes it. DuckDB locally, Spark fallback."""
+    import glob as _g
+
+    files = sorted(
+        _g.glob(os.path.join(lex_dir, "*.parquet"))
+        + _g.glob(os.path.join(lex_dir, "*", "*.parquet"))
+    )
+    if not files:
+        return 0
+    flist = ", ".join(f"'{f}'" for f in files)
+    row = _local_agg(
+        f"SELECT count(DISTINCT term)::BIGINT AS v FROM read_parquet([{flist}])"
+    )
+    if row is not None:
+        return int(row["v"])
+    return spark.read.parquet(*files).select("term").distinct().count()
+
+
 def _file_shuffle_postings(
     spark: SparkSession,
     cat: ManifestCatalog,
@@ -233,6 +255,7 @@ def _file_shuffle_postings(
     avgdl: float,
     config: IndexConfig,
     resume: bool,
+    tpart_spread: int = 1,
 ) -> None:
     """File-shuffle posting + lexicon stage (see IndexConfig docstring
     and udfs.make_tpart_build_task). Resume granularity is ONE TPART:
@@ -353,6 +376,8 @@ def _file_shuffle_postings(
                 )
         if not by_bucket and not os.path.isdir(lex_dir):
             _write_empty_lexicon(lex_dir)
+        if tpart_spread > 1 and lex_terms:
+            lex_terms = _lexicon_vocab_exact(spark, lex_dir)
         for k in sorted(by_bucket):
             agg = by_bucket[k]
             cat.commit(
@@ -513,6 +538,7 @@ def build_index(
                 make_tf_fused_task(
                     config.preset, bucket_span, content_col,
                     n_tparts_cfg, staging_tf, staging_sha,
+                    tpart_spread=config.n_buckets,
                 ),
                 TF_TASK_SCHEMA,
             ).collect()
@@ -578,6 +604,7 @@ def build_index(
             "max_doc_id": max_id,
             "bucket_span": bucket_span,
             "n_tparts": n_tparts_cfg,
+            "tpart_spread": config.n_buckets if n_tparts_cfg else None,
             "seconds": round(secs, 3),
             "docs_per_sec": round(n_docs / secs, 1) if secs > 0 else None,
         }
@@ -589,6 +616,7 @@ def build_index(
     # index with a file-shuffle config falls back to the single-pass
     # live exchange, which reads either legacy layout correctly
     n_tparts = m_tf.get("n_tparts")
+    tpart_spread = m_tf.get("tpart_spread") or 1
     posting_mode = config.posting_mode
     if posting_mode == "file-shuffle" and not n_tparts:
         posting_mode = "single-pass"
@@ -729,7 +757,7 @@ def build_index(
     if posting_mode == "file-shuffle":
         _file_shuffle_postings(
             spark, cat, tf_dir, idx_dir, lex_dir, n_tparts, n_docs,
-            bucket_span, avgdl, config, resume,
+            bucket_span, avgdl, config, resume, tpart_spread=tpart_spread,
         )
     elif posting_mode == "single-pass":
         if not (resume and cat.is_committed("stage_postings")):
@@ -811,7 +839,14 @@ def build_index(
     if config.compute_norms and (not resume or cat.read_manifest("stage_norms") is None):
         t0 = time.perf_counter()
         tf_long = _tf_long(spark, tf_dir)
-        lex = spark.read.parquet(lex_dir).select("term", "df")
+        # one row per term: bucket-salted tpart routing stores a term's
+        # lexicon rows in up to `spread` slices — sum before the join or
+        # the broadcast would multiply tf_long rows and corrupt norms
+        lex = (
+            spark.read.parquet(lex_dir)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
         # vocabulary is usually small enough to broadcast; at larger vocab
         # Catalyst/AQE picks a shuffle join automatically
         joined = tf_long.join(F.broadcast(lex), "term")
@@ -839,9 +874,11 @@ def build_index(
         "format_version": 1,
         "config": asdict(config),
         "max_doc_id": m_tf.get("max_doc_id"),
-        # query side keys tpart directory addressing off this (None ->
-        # legacy term-range file layout, no tpart filter applied)
+        # query side keys tpart directory addressing off these (None ->
+        # legacy term-range file layout, no tpart filter applied);
+        # tpart_spread = bucket-salt width of the routing hash
         "n_tparts": n_tparts,
+        "tpart_spread": tpart_spread if n_tparts else None,
         "tokens_per_sec": (
             round(total_len / tok_secs, 1) if tok_secs else None
         ),

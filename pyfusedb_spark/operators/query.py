@@ -119,9 +119,45 @@ class FuseIndex:
     def index_df(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir, "index"))
 
+    def _lexicon_seg_files(self) -> list[str] | None:
+        """Parquet file list for an LSM-layout lexicon (delta `seg=B`
+        dirs appended by streaming beside a compacted/base root — see
+        streaming/incremental.py). Mixed depths break both Spark's and
+        pyarrow's partition discovery, so those readers get an explicit
+        file list instead. None = uniform layout, use plain dir reads.
+        A term may then appear once per segment; every consumer SUMS
+        df/total_tf across its rows."""
+        import glob as _g
+
+        lex = os.path.join(self.out_dir, "lexicon")
+        if not os.path.isdir(lex) or not any(
+            n.startswith("seg=") for n in os.listdir(lex)
+        ):
+            return None
+        # any one-level subdir: seg=B deltas AND a base build's tpart=P
+        # slices (both can coexist until the first compaction)
+        return sorted(
+            _g.glob(os.path.join(lex, "*.parquet"))
+            + _g.glob(os.path.join(lex, "*", "*.parquet"))
+        )
+
     @property
     def lexicon_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "lexicon"))
+        """Logical lexicon: ONE row per term. On disk a term may span
+        several slices (bucket-salted tpart routing) and/or LSM delta
+        segments — this view merges them (sum df/total_tf/n_chunks,
+        max max_partial)."""
+        files = self._lexicon_seg_files()
+        if files is not None:
+            raw = self.spark.read.parquet(*files)
+        else:
+            raw = self.spark.read.parquet(os.path.join(self.out_dir, "lexicon"))
+        return raw.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("total_tf").alias("total_tf"),
+            F.max("max_partial").alias("max_partial"),
+            F.sum("n_chunks").alias("n_chunks"),
+        )
 
     @property
     def doc_stats_df(self) -> DataFrame:
@@ -134,23 +170,38 @@ class FuseIndex:
     def _query_terms(self, query: str) -> dict[str, int]:
         return self.analyzer.preprocess_query(query)
 
+    @staticmethod
+    def _sum_df(terms_col, df_col) -> dict[str, int]:
+        """(term, df) rows -> {term: Σdf}. An LSM lexicon stores one row
+        per term PER SEGMENT, so summation is the read-side merge."""
+        out: dict[str, int] = {}
+        for t, d in zip(terms_col, df_col):
+            out[t] = out.get(t, 0) + int(d)
+        return out
+
     def _fetch_dfs(self, terms: list[str]) -> dict[str, int]:
+        seg_files = self._lexicon_seg_files()
         if self.stats.get("vocabulary", 0) <= self._lexicon_cache_max:
             if self._lexicon_pd is None:
                 try:
                     import pyarrow.dataset as pads
 
-                    tbl = pads.dataset(
-                        os.path.join(self.out_dir, "lexicon"), format="parquet"
-                    ).to_table(columns=["term", "df"])
-                    self._lexicon_pd = dict(
-                        zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+                    src = seg_files if seg_files is not None else os.path.join(
+                        self.out_dir, "lexicon"
+                    )
+                    tbl = pads.dataset(src, format="parquet").to_table(
+                        columns=["term", "df"]
+                    )
+                    self._lexicon_pd = self._sum_df(
+                        tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
                     )
                 except Exception:
                     # same degradation path as the huge-vocab branch:
                     # filesystems pyarrow can't reach fall back to Spark
                     rows = self.lexicon_df.select("term", "df").collect()
-                    self._lexicon_pd = {r["term"]: int(r["df"]) for r in rows}
+                    self._lexicon_pd = self._sum_df(
+                        [r["term"] for r in rows], [r["df"] for r in rows]
+                    )
             return {t: self._lexicon_pd[t] for t in terms if t in self._lexicon_pd}
         # huge-vocab path: per-query pruned lookup (lexicon is written
         # term-sorted with small row groups -> stats pruning), pyarrow
@@ -159,26 +210,26 @@ class FuseIndex:
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
 
-            ds = pads.dataset(
-                os.path.join(self.out_dir, "lexicon"), format="parquet",
-                partitioning="hive",
-            )
+            if seg_files is not None:
+                ds = pads.dataset(seg_files, format="parquet")
+            else:
+                ds = pads.dataset(
+                    os.path.join(self.out_dir, "lexicon"), format="parquet",
+                    partitioning="hive",
+                )
             flt = pc.field("term").isin(terms)
             tparts = self._tpart_filter_vals(terms)
-            # schema guard: a streaming delta-merge rewrites the lexicon
-            # flat, so tpart may be gone even when the index has it
             if tparts is not None and "tpart" in ds.schema.names:
                 flt = pc.field("tpart").isin(tparts) & flt
             tbl = ds.to_table(filter=flt, columns=["term", "df"])
-            return dict(
-                zip(tbl.column("term").to_pylist(),
-                    (int(x) for x in tbl.column("df").to_pylist()))
+            return self._sum_df(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
             )
         except Exception:
             rows = (
                 self.lexicon_df.where(F.col("term").isin(terms)).select("term", "df").collect()
             )
-            return {r["term"]: int(r["df"]) for r in rows}
+            return self._sum_df([r["term"] for r in rows], [r["df"] for r in rows])
 
     _CHUNK_COLS = (
         "term", "bucket", "df_chunk", "payload", "block_offsets",
@@ -229,13 +280,19 @@ class FuseIndex:
     def _tpart_filter_vals(self, terms: list[str]) -> list[int] | None:
         """Hash-partition ids covering `terms` for a tpart-layout index
         (index/bucket=K/tpart=P dirs, build.py file-shuffle mode) —
-        O(1) directory addressing per term. None = legacy layout."""
+        O(spread) directory addressing per term (the routing hash is
+        salted by the doc-range bucket to defuse hot-term skew; see
+        udfs.term_tpart_probe). None = legacy layout."""
         n = self.stats.get("n_tparts")
         if not n:
             return None
-        from pyfusedb_spark.functions.udfs import term_tpart
+        from pyfusedb_spark.functions.udfs import term_tpart_probe
 
-        return sorted({term_tpart(t, int(n)) for t in terms})
+        spread = int(self.stats.get("tpart_spread") or 1)
+        out: set[int] = set()
+        for t in terms:
+            out.update(term_tpart_probe(t, int(n), spread))
+        return sorted(out)
 
     def _fetch_chunks_uncached(self, terms: list[str]) -> pd.DataFrame:
         tparts = self._tpart_filter_vals(terms)

@@ -145,6 +145,68 @@ def test_held_index_sees_appended_batches(spark, tmp_path):
     np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
 
 
+def test_refresh_writes_only_batch_sized_lexicon_delta(spark, tmp_path):
+    """LSM lexicon (round-2 VERDICT #1): a non-compaction micro-batch
+    must WRITE only its own delta segment — never rewrite the merged
+    lexicon (the read-side O(batch) property already holds; this is the
+    write-side mirror). Root lexicon files must be untouched, and a
+    compaction every K batches folds the segments back."""
+    out = str(tmp_path / "inc_lsm")
+    writer = IncrementalIndexWriter(spark, out, config=CFG)
+    writer.compact_every = 100  # keep compaction out of this test
+    third = len(PANGRAMS) // 3
+    batches = [PANGRAMS[:third], PANGRAMS[third: 2 * third], PANGRAMS[2 * third:]]
+    offs = [0, third, 2 * third]
+    for b, (rows, off) in enumerate(zip(batches, offs)):
+        writer.process_batch(
+            spark.createDataFrame(
+                [(i + off, c) for i, c in enumerate(rows)], "doc_id long, content string"
+            ),
+            b,
+        )
+        lex = os.path.join(out, "lexicon")
+        written = writer.last_refresh_written_files
+        assert written, "refresh recorded no writes"
+        seg_dir = os.path.join(lex, f"seg={b}")
+        for f in written:
+            assert f.startswith(seg_dir), f"batch {b} rewrote {f}"
+        # earlier segments untouched (no merged-lexicon rewrite)
+        for prev in range(b):
+            prev_dir = os.path.join(lex, f"seg={prev}")
+            assert os.path.isdir(prev_dir), "earlier delta vanished"
+    # correctness across segments: df sums equal the oracle
+    idx = FuseIndex(spark, out)
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    for q in QUERIES:
+        got = idx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+    # force a compaction: segments fold into one root lexicon, results hold
+    writer.compact_every = 1
+    writer._compact_lexicon()
+    lex = os.path.join(out, "lexicon")
+    assert not any(n.startswith("seg=") for n in os.listdir(lex))
+    assert sorted(writer._lexicon_included()) == [0, 1, 2]
+    idx2 = FuseIndex(spark, out)
+    for q in QUERIES:
+        got = idx2.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+    # replay after compaction: marker survives, no double-merge
+    writer.process_batch(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(batches[0])], "doc_id long, content string"
+        ),
+        0,
+    )
+    dfs = {}
+    for r in idx2.lexicon_df.collect():
+        dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+    assert dfs["quick"] == sum(1 for p in PANGRAMS if "quick" in p.lower())
+
+
 def test_refresh_crash_recovery_exactly_once(spark, tmp_path):
     """Kill point between the segment commit and the lexicon delta-merge:
     the replayed batch must finish the merge (not skip it), and further
