@@ -523,7 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # old all-pairs harness as modeling the anti-pattern).
         docs = _docs(spark, sf).where(F.col("doc_id") < 200)
         sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_perm=64)
-        pairs = dedup.lsh_candidate_pairs(sigs, bands=64)
+        pairs = dedup.lsh_candidate_pairs(sigs, bands=64, sig_len=64)
         out = dedup.jaccard_verify_pairs(pairs, docs, "text", "doc_id", threshold=0.2)
         return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 

@@ -685,41 +685,7 @@ def build_index(
         chunks.write.option("parquet.block.size", str(256 << 10)).mode("overwrite").parquet(staging)
         cat.promote_dir(staging, final_dir)
         secs = time.perf_counter() - t0
-        # cheap columnar read-back for manifest stats (driver-local)
-        stat = _local_agg(
-            f"SELECT count(*)::BIGINT AS n_terms, coalesce(sum(df_chunk),0)::BIGINT AS n_postings, "
-            f"min(term) AS term_lo, max(term) AS term_hi, "
-            f"coalesce(sum(enc_micros),0)::BIGINT AS enc_micros FROM '{final_dir}/*.parquet'"
-        )
-        if stat is None:
-            stat = (
-                spark.read.parquet(final_dir)
-                .agg(
-                    F.count(F.lit(1)).alias("n_terms"),
-                    F.sum("df_chunk").alias("n_postings"),
-                    F.min("term").alias("term_lo"),
-                    F.max("term").alias("term_hi"),
-                    F.sum("enc_micros").alias("enc_micros"),
-                )
-                .collect()[0]
-            )
-        n_postings = int(stat["n_postings"] or 0)
-        cat.commit(
-            key,
-            {
-                "data_dir": final_dir,
-                "bucket": k,
-                "doc_id_range": [k * bucket_span, (k + 1) * bucket_span - 1],
-                "term_range": [stat["term_lo"], stat["term_hi"]],
-                "n_terms": int(stat["n_terms"]),
-                "n_postings": n_postings,
-                "bytes": _dir_bytes(final_dir),
-                "seconds": round(secs, 3),
-                "postings_per_sec": round(n_postings / secs, 1) if secs > 0 else None,
-                "encode_cpu_seconds": round(int(stat["enc_micros"] or 0) / 1e6, 3),
-                "partitions": _partition_metrics(final_dir),
-            },
-        )
+        cat.commit(key, _bucket_manifest_stats(final_dir, k, secs))
 
     def _bucket_manifest_stats(final_dir: str, k: int, secs: float) -> dict:
         stat = _local_agg(

@@ -82,13 +82,35 @@ def _sha64_strings(strings: list[str]) -> np.ndarray:
     return out
 
 
+_POLY = np.uint64(1099511628211)  # odd multiplier for the rolling combine
+
+
 def _shingle_hashes(text: str, analyzer: Analyzer, k: int) -> np.ndarray:
+    """61-bit hash set of the k-token shingles of one document.
+
+    Vectorized (round-2 VERDICT #8): hash each UNIQUE token once
+    (blake2b; duplicates resolved via factorize — Zipf token streams
+    repeat heavily), then combine windows of k token hashes with a
+    numpy polynomial roll — no k-gram string allocation, no per-shingle
+    blake2b. Only the Jaccard SEMANTICS matter to callers/oracles
+    (exact-Jaccard SQL oracles compare shingle SETS, not hash values),
+    so the hash function only needs determinism + uniformity."""
     toks = analyzer.tokenize(text or "")
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(_hash_strings(shingles)) if shingles else np.zeros(0, np.uint64)
+    if not toks:
+        return np.zeros(0, np.uint64)
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+    th = _hash_strings(list(uniq))[codes]
+    n = len(th)
+    if n < k:
+        acc = th[0]
+        for v in th[1:]:
+            acc = acc * _POLY + v
+        return np.array([acc % _MERSENNE], dtype=np.uint64)
+    m = n - k + 1
+    acc = th[:m].copy()
+    for j in range(1, k):
+        acc = acc * _POLY + th[j : m + j]
+    return np.unique(acc % _MERSENNE)
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -140,10 +162,15 @@ def minhash_signatures(
     return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(gen, schema)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, sig_len: int | None = None
+) -> DataFrame:
     """Band the signatures, bucket-join: docs sharing any band are
-    candidates. Returns distinct (a, b) with a < b."""
-    sig_len = len(signatures.select("sig").first()["sig"])
+    candidates. Returns distinct (a, b) with a < b. Pass ``sig_len``
+    (= num_perm) to skip the probe job that otherwise runs just to
+    learn the signature length (round-2 VERDICT #4)."""
+    if sig_len is None:
+        sig_len = len(signatures.select("sig").first()["sig"])
     rows_per_band = sig_len // bands
     banded = signatures.select(
         "doc_id",
@@ -236,7 +263,7 @@ def minhash_near_duplicates(
     whole mapInPandas signature lineage re-executes once per join branch
     (measured 2.5x slowdown at sf0.1)."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, preset).persist()
-    pairs = lsh_candidate_pairs(sigs, bands)
+    pairs = lsh_candidate_pairs(sigs, bands, sig_len=num_perm)
     out = jaccard_verify_pairs(pairs, df, text_col, id_col, threshold, shingle_k, preset).persist()
     out.count()  # materialize while sigs are cached
     sigs.unpersist()

@@ -277,12 +277,37 @@ def ivf_train(
     emb: DataFrame, nlist: int = 16, sample_n: int = 4096,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 17,
 ) -> np.ndarray:
-    """Train coarse centroids from a deterministic sample (lowest ids —
-    id order is stable; at 100 TB swap for a hash-sampled fraction)."""
-    rows = (
-        emb.select(F.col(vec_col)).orderBy(F.col(id_col)).limit(sample_n).collect()
-    )
-    sample = np.asarray([r[0] for r in rows], dtype=np.float64)
+    """Train coarse centroids from a deterministic HASH sample.
+
+    Round-2 review: the previous ``orderBy(id).limit(n)`` totally
+    ordered the full embedding table just to take n rows — a global
+    sort that cannot survive 100 TB. Now a narrow scan keeps rows where
+    ``pmod(xxhash64(id), p) < r`` (p/r sized from an exact count of the
+    id column — cheap, column-pruned), which is deterministic across
+    partitionings, samples uniformly across the id space, and plans as
+    scan+filter with no exchange. The slight over-sample is trimmed to
+    exactly ``sample_n`` by id for run-to-run stability."""
+    n_rows = emb.count()
+    if n_rows <= sample_n:
+        rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    else:
+        p = 1 << 16
+        # target ~1.3x sample_n survivors so the trim almost never
+        # starves; xxhash64 is uniform enough at these sizes
+        r = max(1, min(p, math.ceil(p * sample_n * 1.3 / n_rows)))
+        rows = (
+            emb.select(F.col(id_col), F.col(vec_col))
+            .where(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(p)) < r)
+            .collect()
+        )
+        if len(rows) < sample_n:  # pathological hash clustering: widen
+            rows = (
+                emb.select(F.col(id_col), F.col(vec_col))
+                .where(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(p)) < min(p, 4 * r))
+                .collect()
+            )
+    rows = sorted(rows, key=lambda row: row[0])[:sample_n]
+    sample = np.asarray([r[1] for r in rows], dtype=np.float64)
     return _kmeans(sample, nlist, seed=seed)
 
 

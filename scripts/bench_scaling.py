@@ -238,14 +238,17 @@ def main() -> None:
         f"**Scaling efficiency = {thr_hi} / (4 x {thr_lo}) = {eff:.3f}**"
         f" (target >= 0.8: {'MET' if eff >= 0.8 else 'NOT MET'})",
         "",
-        "Round-over-round: round 1 measured 0.49 (8->32 pair, machine",
-        "ceiling 0.68 that window). Round 2 removed the posting stage's",
-        "JVM row sort (grouping moved into the Arrow encoder), cut varint",
-        "encode CPU 3.7x, and measures at the 4->16 pair where the VM",
-        "actually has 4N uncontended cores (raw-CPU ceiling ~0.95 vs",
-        "~0.69 at 8->32 — local[32] has no 32 real cores to scale onto).",
-        "Engine-vs-machine ratio improved from 0.73 to the value above;",
-        "absolute posting-stage time roughly halved at every level.",
+        "Round-over-round: round 1 measured 0.49, round 2 0.634 (best",
+        "windows; see git history of this file for their protocols).",
+        "Round 3 replaced the posting stage's live repartitionByRange",
+        "exchange with a FILE SHUFFLE (tf written hive-partitioned by a",
+        "bucket-salted term hash; one pyarrow-reading encoder task per",
+        "tpart; no UnsafeRow<->Arrow conversion pair, no JVM writer),",
+        "fused tokenize+sha256+tf-write into ONE corpus scan (the JVM",
+        "sha256 job was a second full scan), folded the lexicon stage",
+        "into the encoder tasks, and defused hot-term skew (3.4x",
+        "max/median task CPU measured at 1M docs) by salting the route",
+        "key with the doc-range bucket.",
         "",
         f"Engine-vs-machine: the same-window raw-CPU ceiling below is "
         f"{hw_eff:.2f}, so the engine achieves **{eff / hw_eff if hw_eff else 0:.2f} of what "
