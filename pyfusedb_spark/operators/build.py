@@ -2,38 +2,55 @@
 
 Reference lifecycle being re-expressed: SPIMI block build
 (``app/InvertedIndexFinal.py:254-285``) + k-way merge (``:287-346``),
-re-architected for Spark's execution model:
+re-architected for Spark's execution model. Default ("file-shuffle")
+pipeline:
 
-Stage "tf"      one narrow Arrow pass over the corpus: analyze+count terms
-                in a pandas UDF (map-side partial agg), sha256 via built-in
-                ``sha2``; writes (a) doc_stats (doc_id, doc_len, sha256) and
-                (b) tf rows partitioned by doc-range BUCKET.
-Stage "stats"   N (counts empty docs too — app/InvertedIndex.py:34), avgdl.
-Stage bucket=K  per bucket: repartitionByRange(term) +
-                sortWithinPartitions(term, doc_id) + mapInPandas encoder →
-                encoded posting chunks (delta+varint+block-max). The
-                doc-range bucket IS the skew salt (north rule): a hot
-                term's postings split into ≤ n_buckets doc-disjoint chunks,
-                each bounded by the bucket's doc count, and chunks stay
-                globally doc-ordered so query-side concatenation is free
-                (no second merge shuffle needed — the "merge" is a
-                metadata-only concatenation, unlike the reference's k-way
-                heap merge).
-Stage "lexicon" tiny shuffle over chunk rows: df(term) = Σ df_chunk
-                (A3/A4 in SURVEY.md §2.4).
+Stage "tf"      ONE fused corpus scan (udfs.make_tf_fused_task):
+                tokenize + per-doc tf counting + sha256 lineage in a
+                single mapInArrow pass; each task writes its packed
+                partial posting runs straight into hive
+                ``tf/tpart=P`` dirs (P = bucket-salted crc32 of the
+                term) plus its (doc_id, sha256) file — the MAP side of
+                a shuffle, expressed as parquet files, with no JVM
+                row materialization and no second scan.
+Stage "stats"   N (counts empty docs too — app/InvertedIndex.py:34),
+                avgdl, exact sha256 lineage sum.
+Stage postings  spark.range(n_tparts) -> one encoder task per tpart
+                (udfs.make_tpart_build_task): reads ITS OWN tpart's
+                files via pyarrow (the REDUCE side — no live
+                exchange), merges runs into one chunk per
+                (term, bucket) with delta+varint+block-max encoding,
+                writes ``index/bucket=K/tpart=P`` chunk files AND its
+                final lexicon slice (a term lives in its probe set of
+                tparts only), yields tiny stats rows for manifests.
+                The doc-range bucket IS the skew salt (north rule):
+                it spreads a hot term over `n_buckets` tparts at
+                route time AND keeps chunks doc-disjoint so
+                query-side concatenation needs no re-merge (unlike
+                the reference's k-way heap merge).
+Stage "lexicon" folded into the posting pass (df(term) = Σ df_chunk
+                summed read-side across slices; A3/A4 in §2.4).
 Stage "norms"   optional exact TF-IDF document norms (v1 semantics,
                 app/InvertedIndex.py:408-419) for the cosine mode.
 
-Every stage/bucket commits a manifest (term range, doc count, postings,
-bytes, sha256 lineage, tokens/sec, postings/sec) through ManifestCatalog;
-a killed build resumes from the last committed unit.
+Legacy modes "per-bucket" / "single-pass" keep the round-2 live
+repartitionByRange exchange (finest per-bucket resume granularity /
+one-job builds on term-range file layout).
 
-Scale notes (100 TB / 1000 executors): stage "tf" is scan→write with zero
-shuffles; each bucket stage is exactly one range shuffle on `term`;
-lexicon shuffles only (term, df_chunk) rows. Buckets bound both the
-per-task posting-list size (Arrow 2 GiB record limits) and the resume
-granularity. For 10^12 docs raise n_buckets so bucket_span·max_df_density
-keeps chunks under ~100 MB.
+Every stage/tpart/bucket commits a manifest (term range, doc count,
+postings, bytes, sha256 lineage, tokens/sec, postings/sec, per-task
+metrics) through ManifestCatalog; a killed build resumes from the last
+committed unit (file-shuffle unit = one tpart, validated against its
+data dirs).
+
+Scale notes (100 TB / 1000 executors): stage "tf" is scan→write with
+zero live shuffles; the posting stage moves data only through the
+tpart files. n_tparts bounds per-encoder-task memory (≈ |postings| *
+12B / n_tparts) — raise it with corpus size exactly like n_buckets
+bounds chunk size; tf file fan-out is n_scan_tasks x n_tparts, so at
+10^5 map tasks consolidate with a coarser n_tparts per wave or an
+intermediate combine. Executors read/write storage directly (local FS
+here; HDFS/S3 via pyarrow.fs on a cluster).
 """
 
 from __future__ import annotations

@@ -1,0 +1,156 @@
+"""IVF recall/nprobe sweep (round-2 VERDICT item 5).
+
+The persisted cell-partitioned IVF (operators/knn.py PersistedIVF) was
+only evidenced at nlist=8 on sf small. This sweep builds indexes at
+nlist in {16, 64} over the sf0.1 embeddings (and a larger synthetic
+clustered set), then measures, per nprobe:
+
+  - recall@10 vs the brute-force exact scan (averaged over Q queries)
+  - scanned-cell fraction (the pruning actually achieved)
+  - probe latency (median)
+
+plus `topk_exact`'s adaptive scanned-cell count on clustered vs uniform
+data. Writes a markdown table to stdout for BENCH/BASELINE.md and one
+JSON line for machine reading.
+
+Usage: python scripts/bench_ivf_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _sweep(spark, emb, tag: str, nlist: int, nprobes: list[int], n_queries: int = 8):
+    from pyspark.sql import functions as F
+
+    from pyfusedb_spark.operators import knn
+
+    out = os.path.join(tempfile.gettempdir(), f"pyfusedb_ivf_sweep_{tag}_{nlist}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    ivf = knn.PersistedIVF.build(emb, out, nlist=nlist, sample_n=max(4096, nlist * 64))
+    build_s = round(time.perf_counter() - t0, 2)
+
+    qrows = emb.where(F.col("vec_id") < n_queries).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    exact = {}
+    for qid, qv in queries.items():
+        exact[qid] = [r["vec_id"] for r in knn.brute_force_topk(emb, qv, 10).collect()]
+
+    rows = []
+    for nprobe in nprobes:
+        recs, lats = [], []
+        for qid, qv in queries.items():
+            t0 = time.perf_counter()
+            got = [r["vec_id"] for r in ivf.topk(qv, 10, nprobe=nprobe).collect()]
+            lats.append(time.perf_counter() - t0)
+            recs.append(len(set(got) & set(exact[qid])) / 10.0)
+        rows.append(
+            {
+                "tag": tag,
+                "nlist": nlist,
+                "nprobe": nprobe,
+                "recall_at_10": round(statistics.mean(recs), 3),
+                "recall_min": round(min(recs), 3),
+                "scan_frac": round(nprobe / nlist, 3),
+                "probe_p50_s": round(statistics.median(lats), 4),
+            }
+        )
+    # adaptive exact path: triangle-inequality pruning, exact at any scale
+    scanned = []
+    alat = []
+    for qid, qv in queries.items():
+        t0 = time.perf_counter()
+        got = [r["vec_id"] for r in ivf.topk_exact(qv, 10).collect()]
+        alat.append(time.perf_counter() - t0)
+        scanned.append(ivf.last_scanned_cells)
+        assert got == exact[qid], f"topk_exact diverged on q{qid}"
+    adaptive = {
+        "tag": tag,
+        "nlist": nlist,
+        "adaptive_scanned_cells_mean": round(statistics.mean(scanned), 1),
+        "adaptive_scan_frac": round(statistics.mean(scanned) / nlist, 3),
+        "adaptive_p50_s": round(statistics.median(alat), 4),
+        "build_s": build_s,
+    }
+    shutil.rmtree(out, ignore_errors=True)
+    return rows, adaptive
+
+
+def _clustered_emb(spark, n: int, dim: int, n_clusters: int):
+    """Deterministic clustered vectors: cluster centers on coordinate
+    blends + small per-point jitter (hash-derived, no RNG state)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    c = (F.col("vec_id") % n_clusters).cast("double")
+    comps = []
+    for d in range(dim):
+        center = F.sin(c * (d + 1) * 0.7) * 2.0
+        jitter = F.sin((F.col("vec_id") * 2654435761 + d * 40503) % 100000 / 15915.0) * 0.15
+        comps.append(center + jitter)
+    return df.select("vec_id", F.array(*comps).alias("embedding"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).persist()
+    n = emb.count()
+    all_rows, adaptives = [], []
+    for nlist in (16, 64):
+        rows, adaptive = _sweep(spark, emb, f"sf_emb_n{n}", nlist,
+                                nprobes=[1, 2, 4, 8, 16] if nlist == 64 else [1, 2, 4, 8])
+        all_rows += rows
+        adaptives.append(adaptive)
+    emb.unpersist()
+
+    cl = _clustered_emb(spark, 60000, 32, 64).persist()
+    cl.count()
+    rows, adaptive = _sweep(spark, cl, "clustered_60k", 64, nprobes=[1, 2, 4, 8, 16])
+    all_rows += rows
+    adaptives.append(adaptive)
+    cl.unpersist()
+
+    print("| corpus | nlist | nprobe | scan frac | recall@10 (mean/min) | probe p50 s |")
+    print("|---|---|---|---|---|---|")
+    for r in all_rows:
+        print(
+            f"| {r['tag']} | {r['nlist']} | {r['nprobe']} | {r['scan_frac']} "
+            f"| {r['recall_at_10']} / {r['recall_min']} | {r['probe_p50_s']} |"
+        )
+    print()
+    print("| corpus | nlist | adaptive cells (mean) | scan frac | p50 s | build s |")
+    print("|---|---|---|---|---|---|")
+    for a in adaptives:
+        print(
+            f"| {a['tag']} | {a['nlist']} | {a['adaptive_scanned_cells_mean']} "
+            f"| {a['adaptive_scan_frac']} | {a['adaptive_p50_s']} | {a['build_s']} |"
+        )
+    print(json.dumps({"sweep": all_rows, "adaptive": adaptives}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
