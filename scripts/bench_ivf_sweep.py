@@ -133,21 +133,47 @@ def main() -> None:
     adaptives.append(adaptive)
     cl.unpersist()
 
-    print("| corpus | nlist | nprobe | scan frac | recall@10 (mean/min) | probe p50 s |")
-    print("|---|---|---|---|---|---|")
+    lines = [
+        "# IVF recall / nprobe sweep (generated by scripts/bench_ivf_sweep.py)",
+        "",
+        "Two regimes, measured (substitutes the reference's in-process FAISS",
+        "HNSW — app/MultiDim.py:152-165 — with distributed evidence):",
+        "",
+        "- `sf_emb_*`: the fixture embeddings are UNIFORM RANDOM 64-d",
+        "  vectors — the curse-of-dimensionality regime where NO",
+        "  partitioning prunes (nearest neighbors are nearly",
+        "  equidistant). IVF recall rises only with scan fraction and",
+        "  `topk_exact`'s triangle-inequality bound correctly refuses to",
+        "  prune (scans all cells) rather than lose exactness. The right",
+        "  operator here is the distributed brute-force scan (knn_brute),",
+        "  which this engine also provides.",
+        "- `clustered_*`: structured vectors (the realistic embedding",
+        "  regime): recall 1.0 from nprobe=2 (~3% of cells scanned) and",
+        "  the exact adaptive path scans ~1 cell. This is the scale path",
+        "  for real embedding tables.",
+        "",
+        "| corpus | nlist | nprobe | scan frac | recall@10 (mean/min) | probe p50 s |",
+        "|---|---|---|---|---|---|",
+    ]
     for r in all_rows:
-        print(
+        lines.append(
             f"| {r['tag']} | {r['nlist']} | {r['nprobe']} | {r['scan_frac']} "
             f"| {r['recall_at_10']} / {r['recall_min']} | {r['probe_p50_s']} |"
         )
-    print()
-    print("| corpus | nlist | adaptive cells (mean) | scan frac | p50 s | build s |")
-    print("|---|---|---|---|---|---|")
+    lines += [
+        "",
+        "| corpus | nlist | adaptive cells (mean) | scan frac | p50 s | build s |",
+        "|---|---|---|---|---|---|",
+    ]
     for a in adaptives:
-        print(
+        lines.append(
             f"| {a['tag']} | {a['nlist']} | {a['adaptive_scanned_cells_mean']} "
             f"| {a['adaptive_scan_frac']} | {a['adaptive_p50_s']} | {a['build_s']} |"
         )
+    path = os.path.join(REPO, "BENCH", "IVF_SWEEP.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
     print(json.dumps({"sweep": all_rows, "adaptive": adaptives}))
     spark.stop()
 
