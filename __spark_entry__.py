@@ -36,6 +36,7 @@ from pyfusedb_spark.plans.sqlfront import FuseSession
 K1, B = 1.2, 0.75
 _INDEX_CACHE: dict[str, FuseIndex] = {}
 _ANN_CACHE: dict[str, "knn.PersistedIVF"] = {}
+_GRAPH_CACHE: dict[str, "knn.PersistedGraphANN"] = {}
 _AZ = Analyzer("simple")
 
 
@@ -116,6 +117,19 @@ def _ivf(spark: SparkSession, sf_dir: str) -> "knn.PersistedIVF":
                 _emb(spark, sf_dir), out, nlist=8, sample_n=512
             )
     return _ANN_CACHE[key]
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> "knn.PersistedGraphANN":
+    """Build (once) the per-segment NSW graph tier over the persisted IVF
+    index — the distributed HNSW analog (reference app/MultiDim.py:152-165)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _GRAPH_CACHE:
+        ivf = _ivf(spark, sf_dir)
+        if os.path.exists(os.path.join(ivf.out_dir, "graph.json")):
+            _GRAPH_CACHE[key] = knn.PersistedGraphANN(ivf)
+        else:
+            _GRAPH_CACHE[key] = knn.PersistedGraphANN.build(ivf, m=8)
+    return _GRAPH_CACHE[key]
 
 
 def _search_df(spark, idx: FuseIndex, query: str, k=10, mode="bm25", conjunctive=False,
@@ -632,11 +646,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _ivf(spark, sf).topk_exact(qv, k=10)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def ann_graph(spark, sf):
+        # per-segment NSW beam search (the HNSW analog) at its exact
+        # setting: nprobe = nlist and ef >= segment size mean the beam
+        # provably visits every node (connectivity chain), so the exact
+        # top-10 SQL is the oracle; recall/distance-budget curves at
+        # real (small-ef) settings are asserted in pytest and BENCH
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.where(F.col("vec_id") == 4).first()["embedding"]]
+        out = _graph(spark, sf).topk(qv, k=10, nprobe=8, ef=1_000_000)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
     q.update(knn_brute=knn_brute, knn_batch=knn_batch, knn_range=knn_range,
              knn_brute_l2=knn_brute_l2, knn_range_l2=knn_range_l2,
              knn_grid_range=knn_grid_range, ann_lsh=ann_lsh,
              ann_ivf_exact=ann_ivf_exact, ann_ivf_probe=ann_ivf_probe,
-             ann_ivf_adaptive=ann_ivf_adaptive)
+             ann_ivf_adaptive=ann_ivf_adaptive, ann_graph=ann_graph)
 
     # ---- text analysis ----
     def text_quality(spark, sf):
@@ -882,6 +907,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY list_cosine_similarity(embedding::DOUBLE[],
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC, vec_id
+            LIMIT 10
+        """,
+        # NSW graph beam at the exact setting (nprobe=nlist, ef>=segment
+        # size: connectivity chain makes the beam visit every node)
+        "ann_graph": """
+            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 4)::DOUBLE[]), 6) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 4)::DOUBLE[]) DESC, vec_id
             LIMIT 10
         """,
         "text_quality": _QUALITY_SQL,

@@ -519,6 +519,255 @@ class PersistedIVF:
 
 
 # --------------------------------------------------------------------------
+# Per-segment navigable-small-world graph ANN (the HNSW analog, M4)
+# --------------------------------------------------------------------------
+
+def _build_segment_graph(xn: np.ndarray, m: int) -> list[np.ndarray]:
+    """Exact M-NN graph over one bounded segment, made undirected, plus a
+    row-order chain edge i<->i+1 that guarantees connectivity (so a beam
+    with ef >= n provably visits every node -> exact search, which is
+    what the SQL-oracle entry relies on).
+
+    One float32 matmul + argpartition — O(n^2) per segment, but segments
+    are bounded (seg_target), so a cell of any size costs O(n_cell *
+    seg_target) total: the standard partitioned substitute for
+    incremental HNSW insertion, which needs shared mutable state Spark
+    executors don't have."""
+    n = len(xn)
+    if n == 1:
+        return [np.zeros(0, dtype=np.int64)]
+    sims = (xn @ xn.T).astype(np.float32)
+    np.fill_diagonal(sims, -np.inf)
+    kk = min(m, n - 1)
+    nn = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for i in range(n):
+        for j in nn[i]:
+            adj[i].add(int(j))
+            adj[int(j)].add(i)
+    for i in range(n - 1):  # connectivity chain
+        adj[i].add(i + 1)
+        adj[i + 1].add(i)
+    return [np.fromiter(sorted(a), dtype=np.int64, count=len(a)) for a in adj]
+
+
+def _beam_search(
+    xn: np.ndarray, nbrs: list[np.ndarray], entry: int,
+    qn: np.ndarray, ef: int,
+) -> tuple[list[tuple[float, int]], int]:
+    """Greedy best-first NSW beam search (the HNSW layer-0 search loop,
+    re-implemented from the published algorithm — reference uses FAISS
+    in-process, app/MultiDim.py:152-165). Returns the ef best
+    (cosine, local_idx) pairs plus the visited-node count (the
+    distance-computation budget, reported in BENCH/tests).
+
+    With ef >= n and a connected graph the loop cannot terminate before
+    visiting every node, so the result is exact."""
+    import heapq
+
+    n = len(xn)
+    ef = min(ef, n)
+    visited = np.zeros(n, dtype=bool)
+    visited[entry] = True
+    s0 = float(xn[entry] @ qn)
+    cand = [(-s0, entry)]   # max-heap on cosine (min-heap on negation)
+    top: list[tuple[float, int]] = [(s0, entry)]  # min-heap of best ef
+    n_visited = 1
+    while cand:
+        neg, ci = heapq.heappop(cand)
+        if len(top) >= ef and -neg < top[0][0]:
+            break  # best frontier node can't improve the beam
+        nb = nbrs[ci]
+        if len(nb) == 0:
+            continue
+        nb = nb[~visited[nb]]
+        if len(nb) == 0:
+            continue
+        visited[nb] = True
+        n_visited += len(nb)
+        ss = xn[nb] @ qn  # one vectorized distance batch per expansion
+        for s, j in zip(ss.tolist(), nb.tolist()):
+            if len(top) < ef or s > top[0][0]:
+                heapq.heappush(cand, (-s, j))
+                heapq.heappush(top, (s, j))
+                if len(top) > ef:
+                    heapq.heappop(top)
+    # ties broken by ascending local idx == ascending global id (rows
+    # are id-sorted), matching the engine/oracle ORDER BY contract
+    return sorted(top, key=lambda t: (-t[0], t[1])), n_visited
+
+
+class PersistedGraphANN:
+    """Graph ANN tier over a :class:`PersistedIVF`: per (cell, segment)
+    navigable-small-world graphs stored beside the cell files, searched
+    by distributed beam search — the full HNSW analog (reference:
+    in-process ``faiss.IndexHNSWFlat(dim, 32)``, app/MultiDim.py:152-165,
+    which cannot distribute or persist across executors).
+
+    Layout (under the IVF's ``out_dir``):
+
+    - ``graph/`` parquet partitioned by ``cell``: one row per vector with
+      its embedding, its adjacency (GLOBAL vec_ids, stable across file
+      order), its segment id, and an ``is_entry`` flag (the segment's
+      medoid = max cell_cos — the natural greedy start).
+    - ``graph.json`` sidecar: {m, seg_fanout, n_rows}.
+
+    Scale shape: cells are hive directories (probe = PartitionFilters,
+    same as the IVF), segments bound both graph-build matmul memory and
+    per-task search state; a probe query reads nprobe directories and
+    runs one beam per segment (O(ef * degree) distance batches instead
+    of the segment's full scan), then a global top-k merge. Build is one
+    ``applyInPandas`` over (cell, seg) groups — embarrassingly parallel,
+    no driver state."""
+
+    def __init__(self, ivf: PersistedIVF):
+        import json
+        import os
+
+        self.ivf = ivf
+        self.spark = ivf.spark
+        self.out_dir = ivf.out_dir
+        self.id_col = ivf.id_col
+        self.vec_col = ivf.vec_col
+        with open(os.path.join(self.out_dir, "graph.json")) as f:
+            self.meta = json.load(f)
+
+    @property
+    def graph_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/graph")
+
+    @staticmethod
+    def build(ivf: PersistedIVF, m: int = 8, seg_target: int = 4096,
+              seed: int = 17) -> "PersistedGraphANN":
+        import json
+        import os
+
+        spark = ivf.spark
+        id_col, vec_col = ivf.id_col, ivf.vec_col
+        cells = ivf.cells_df
+        n_rows = cells.count()
+        nlist = len(ivf.centroids)
+        # expected rows per cell / seg_target, hash-assigned so segment
+        # membership is deterministic across partitionings and bounded
+        # in expectation without a per-cell count job
+        seg_fanout = max(1, math.ceil(n_rows / (nlist * seg_target)))
+        with_seg = cells.withColumn(
+            "seg",
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(seg_fanout)).cast("int"),
+        )
+        mm = int(m)
+
+        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            adj = _build_segment_graph(xn, mm)
+            ids = pdf[id_col].to_numpy()
+            entry = int(np.argmax(pdf["cell_cos"].to_numpy()))
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    vec_col: pdf[vec_col],
+                    "neighbors": [ids[a] for a in adj],
+                    "is_entry": np.arange(len(ids)) == entry,
+                    "seg": pdf["seg"],
+                    "cell": pdf["cell"],
+                }
+            )
+
+        out_schema = (
+            f"{id_col} long, {vec_col} array<double>, neighbors array<long>, "
+            "is_entry boolean, seg int, cell int"
+        )
+        (
+            with_seg.groupBy("cell", "seg")
+            .applyInPandas(build_group, out_schema)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{ivf.out_dir}/graph")
+        )
+        tmp = os.path.join(ivf.out_dir, "graph.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"m": mm, "seg_fanout": seg_fanout, "n_rows": n_rows}, f)
+        os.replace(tmp, os.path.join(ivf.out_dir, "graph.json"))
+        return PersistedGraphANN(ivf)
+
+    def topk_batch(
+        self, queries: list[tuple[int, list[float]]], k: int = 10,
+        nprobe: int = 4, ef: int = 64,
+    ) -> DataFrame:
+        """(q_id, vec_id, cosine) for each query: one Spark job answers
+        the whole batch — every (cell, seg) task loads its graph once and
+        beams all queries probing that cell over it (the amortization a
+        1000-executor serving tier needs)."""
+        id_col, vec_col = self.id_col, self.vec_col
+        probe_map = {
+            int(qid): set(self.ivf._probe_cells(list(qv), nprobe)) for qid, qv in queries
+        }
+        qmat = {
+            int(qid): (lambda a: a / max(float(np.linalg.norm(a)), 1e-12))(
+                np.asarray(qv, dtype=np.float64)
+            )
+            for qid, qv in queries
+        }
+        all_cells = sorted(set().union(*probe_map.values())) if probe_map else []
+        bq = self.spark.sparkContext.broadcast((probe_map, qmat))
+        kk, eff = int(k), int(ef)
+
+        def search_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            probe_m, qm = bq.value
+            cell = int(pdf["cell"].iloc[0])
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            ids = pdf[id_col].to_numpy()
+            pos = {int(v): i for i, v in enumerate(ids)}
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            nbrs = [
+                np.fromiter((pos[int(g)] for g in row if int(g) in pos), dtype=np.int64)
+                for row in pdf["neighbors"]
+            ]
+            flags = pdf["is_entry"].to_numpy()
+            entry = int(np.argmax(flags)) if flags.any() else 0
+            out_q, out_v, out_c = [], [], []
+            for qid, cells_of_q in probe_m.items():
+                if cell not in cells_of_q:
+                    continue
+                best, _ = _beam_search(xn, nbrs, entry, qm[qid], max(kk, eff))
+                for s, i in best[:kk]:
+                    out_q.append(qid)
+                    out_v.append(int(ids[i]))
+                    out_c.append(float(s))
+            return pd.DataFrame(
+                {
+                    "q_id": pd.Series(out_q, dtype="int64"),
+                    id_col: pd.Series(out_v, dtype="int64"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+        g = self.graph_df.where(F.col("cell").isin(all_cells))
+        res = g.groupBy("cell", "seg").applyInPandas(
+            search_group, f"q_id long, {id_col} long, cosine double"
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+        return (
+            res.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .drop("rank")
+            .orderBy("q_id", F.desc("cosine"), F.asc(id_col))
+        )
+
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4,
+             ef: int = 64) -> DataFrame:
+        """Single-query beam search over the nprobe best-bound cells.
+        ``nprobe = nlist`` + ``ef >= max segment size`` degenerates to the
+        exact scan (the oracle-checkable setting); small ef trades recall
+        for a bounded distance budget (curves in tests + BENCH)."""
+        out = self.topk_batch([(0, list(query_vec))], k, nprobe, ef)
+        return out.select(self.id_col, "cosine")
+
+
+# --------------------------------------------------------------------------
 # Grid-prefiltered range search (the R-tree analog, M3 in SURVEY.md §2.12)
 # --------------------------------------------------------------------------
 

@@ -87,6 +87,80 @@ def _sweep(spark, emb, tag: str, nlist: int, nprobes: list[int], n_queries: int 
     return rows, adaptive
 
 
+def _graph_sweep(spark, emb, tag: str, nlist: int, efs: list[int], n_queries: int = 8):
+    """Recall / visited-node budget / latency vs ef for the per-segment
+    NSW graph tier (PersistedGraphANN — the HNSW analog). Visited counts
+    come from driver-side replication of the same _beam_search the
+    executors run (identical code path, deterministic)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyfusedb_spark.operators import knn
+
+    out = os.path.join(tempfile.gettempdir(), f"pyfusedb_graph_sweep_{tag}_{nlist}")
+    shutil.rmtree(out, ignore_errors=True)
+    ivf = knn.PersistedIVF.build(emb, out, nlist=nlist, sample_n=max(4096, nlist * 64))
+    t0 = time.perf_counter()
+    g = knn.PersistedGraphANN.build(ivf, m=8)
+    gbuild_s = round(time.perf_counter() - t0, 2)
+
+    qrows = emb.where(F.col("vec_id") < n_queries).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    exact = {
+        qid: [r["vec_id"] for r in knn.brute_force_topk(emb, qv, 10).collect()]
+        for qid, qv in queries.items()
+    }
+    # load probed-cell graphs once (driver replication for visited counts)
+    nprobe = max(2, nlist // 8)
+    segs_by_q = {}
+    for qid, qv in queries.items():
+        cells = ivf._probe_cells(qv, nprobe)
+        pdfs = g.graph_df.where(F.col("cell").isin(cells)).toPandas()
+        segs = []
+        for _, pdf in pdfs.groupby(["cell", "seg"]):
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy()
+            pos = {int(v): i for i, v in enumerate(ids)}
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            nbrs = [
+                np.fromiter((pos[int(t)] for t in row), dtype=np.int64)
+                for row in pdf["neighbors"]
+            ]
+            entry = int(np.argmax(pdf["is_entry"].to_numpy()))
+            segs.append((xn, nbrs, entry, ids))
+        segs_by_q[qid] = segs
+    rows = []
+    for ef in efs:
+        recs, fracs, lats = [], [], []
+        for qid, qv in queries.items():
+            q = np.asarray(qv, dtype=np.float64)
+            qn = q / max(float(np.linalg.norm(q)), 1e-12)
+            found, n_vis, n_tot = [], 0, 0
+            t0 = time.perf_counter()
+            for xn, nbrs, entry, ids in segs_by_q[qid]:
+                best, nv = knn._beam_search(xn, nbrs, entry, qn, ef)
+                n_vis += nv
+                n_tot += len(ids)
+                found += [(s, int(ids[i])) for s, i in best]
+            lats.append(time.perf_counter() - t0)
+            got = [v for _, v in sorted(found, key=lambda t: (-t[0], t[1]))[:10]]
+            recs.append(len(set(got) & set(exact[qid])) / 10.0)
+            fracs.append(n_vis / max(1, n_tot))
+        rows.append(
+            {
+                "tag": tag, "nlist": nlist, "nprobe": nprobe, "ef": ef,
+                "recall_at_10": round(statistics.mean(recs), 3),
+                "recall_min": round(min(recs), 3),
+                "visited_frac_of_probed": round(statistics.mean(fracs), 3),
+                "beam_p50_s": round(statistics.median(lats), 4),
+                "graph_build_s": gbuild_s,
+            }
+        )
+    shutil.rmtree(out, ignore_errors=True)
+    return rows
+
+
 def _clustered_emb(spark, n: int, dim: int, n_clusters: int):
     """Deterministic clustered vectors: cluster centers on coordinate
     blends + small per-point jitter (hash-derived, no RNG state)."""
@@ -126,11 +200,18 @@ def main() -> None:
         adaptives.append(adaptive)
     emb.unpersist()
 
+    emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).persist()
+    graph_rows = _graph_sweep(spark, emb2, f"sf_emb_n{n}", 16, efs=[8, 16, 32, 64, 128])
+    emb2.unpersist()
+
     cl = _clustered_emb(spark, 60000, 32, 64).persist()
     cl.count()
     rows, adaptive = _sweep(spark, cl, "clustered_60k", 64, nprobes=[1, 2, 4, 8, 16])
     all_rows += rows
     adaptives.append(adaptive)
+    graph_rows += _graph_sweep(spark, cl, "clustered_60k", 64, efs=[8, 16, 32, 64, 128])
     cl.unpersist()
 
     lines = [
@@ -170,11 +251,30 @@ def main() -> None:
             f"| {a['tag']} | {a['nlist']} | {a['adaptive_scanned_cells_mean']} "
             f"| {a['adaptive_scan_frac']} | {a['adaptive_p50_s']} | {a['build_s']} |"
         )
+    lines += [
+        "",
+        "## NSW graph tier (PersistedGraphANN — per-segment beam search)",
+        "",
+        "Same two regimes; `visited frac` = distance computations as a",
+        "fraction of the probed cells' vectors (the budget the graph",
+        "buys vs scanning every probed cell; nprobe pruning multiplies",
+        "on top). ef >= segment size is provably exact (connectivity",
+        "chain), which is the oracle-checked `ann_graph` setting.",
+        "",
+        "| corpus | nlist | nprobe | ef | visited frac | recall@10 (mean/min) | beam p50 s | graph build s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in graph_rows:
+        lines.append(
+            f"| {r['tag']} | {r['nlist']} | {r['nprobe']} | {r['ef']} "
+            f"| {r['visited_frac_of_probed']} | {r['recall_at_10']} / {r['recall_min']} "
+            f"| {r['beam_p50_s']} | {r['graph_build_s']} |"
+        )
     path = os.path.join(REPO, "BENCH", "IVF_SWEEP.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
-    print(json.dumps({"sweep": all_rows, "adaptive": adaptives}))
+    print(json.dumps({"sweep": all_rows, "adaptive": adaptives, "graph": graph_rows}))
     spark.stop()
 
 

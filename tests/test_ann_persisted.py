@@ -119,6 +119,118 @@ def test_lsh_high_dim_no_literal_bloat(spark):
     assert ann == top
 
 
+# ---------------------------------------------------------------------------
+# Per-segment NSW graph tier (the HNSW analog, round-3 M4 last mile)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def graph(ivf):
+    return knn.PersistedGraphANN.build(ivf, m=8)
+
+
+def test_graph_reopen_and_layout(spark, ivf, graph):
+    reopened = knn.PersistedGraphANN(ivf)
+    assert reopened.meta == graph.meta
+    g = graph.graph_df
+    assert {"vec_id", "embedding", "neighbors", "is_entry", "seg", "cell"} <= set(g.columns)
+    # exactly one entry point per (cell, seg) graph
+    per_seg = g.groupBy("cell", "seg").agg(
+        F.sum(F.col("is_entry").cast("int")).alias("n_entry")
+    )
+    assert all(r["n_entry"] == 1 for r in per_seg.collect())
+
+
+def test_segment_graph_is_connected():
+    """The row-order chain edge must make every segment graph connected —
+    the property the exact-setting oracle entry rests on (ef >= n then
+    provably visits every node)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((157, 12))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    adj = knn._build_segment_graph(xn, m=4)
+    seen = {0}
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for i in frontier:
+            for j in adj[i]:
+                if int(j) not in seen:
+                    seen.add(int(j))
+                    nxt.append(int(j))
+        frontier = nxt
+    assert len(seen) == len(adj)
+    # undirected: j in adj[i] <=> i in adj[j]
+    for i, a in enumerate(adj):
+        for j in a:
+            assert i in adj[int(j)]
+
+
+def test_graph_exact_setting_equals_brute(emb, graph):
+    """nprobe = nlist + ef >= segment size: the beam visits every node,
+    so the graph search must equal brute force bit-for-bit (ids AND
+    cosines) — the driver-contract setting for ann_graph."""
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 4).first()["embedding"]]
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in knn.brute_force_topk(emb, qv, 10).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in graph.topk(qv, k=10, nprobe=8, ef=1_000_000).collect()
+    ]
+    assert got == exact
+
+
+def test_graph_batch_one_job_matches_brute(emb, graph):
+    """topk_batch answers several queries in one Spark job; each query's
+    rows must match its own brute-force top-k at exact settings."""
+    rows = emb.where(F.col("vec_id").isin([2, 6])).collect()
+    queries = [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows]
+    got = graph.topk_batch(queries, k=5, nprobe=8, ef=1_000_000).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], round(r["cosine"], 9)))
+    for qid, qv in queries:
+        exact = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in knn.brute_force_topk(emb, qv, 5).collect()
+        ]
+        assert by_q[qid] == exact, f"q{qid}"
+
+
+def test_beam_budget_and_recall_floor(emb, graph):
+    """At a real small-ef setting the beam must (a) visit a strict subset
+    of each segment (bounded distance budget) and (b) still find most of
+    the true neighbours — the recall/budget trade HNSW exists for."""
+    qv = np.asarray(
+        emb.where(F.col("vec_id") == 4).first()["embedding"], dtype=np.float64
+    )
+    qn = qv / np.linalg.norm(qv)
+    g = graph.graph_df.where(F.col("cell").isin(graph.ivf._probe_cells(list(qv), 8)))
+    pdfs = g.toPandas()
+    visited_total, n_total, found = 0, 0, []
+    for (_, _), pdf in pdfs.groupby(["cell", "seg"]):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        nbrs = [
+            np.fromiter((pos[int(gg)] for gg in row), dtype=np.int64)
+            for row in pdf["neighbors"]
+        ]
+        entry = int(np.argmax(pdf["is_entry"].to_numpy()))
+        best, n_vis = knn._beam_search(xn, nbrs, entry, qn, ef=8)
+        visited_total += n_vis
+        n_total += len(ids)
+        found += [(s, int(ids[i])) for s, i in best]
+    assert visited_total < n_total, "ef=8 beam degenerated to a full scan"
+    got = {v for _, v in sorted(found, key=lambda t: (-t[0], t[1]))[:10]}
+    exact = {r["vec_id"] for r in knn.brute_force_topk(emb, list(qv), 10).collect()}
+    assert len(got & exact) >= 7, f"recall too low: {len(got & exact)}/10"
+
+
 def test_persisted_range_search_exact(emb, ivf):
     """Cell-pruned range search must equal the full-scan range search
     exactly (lossless spherical-cap prune against the stored radii)."""
