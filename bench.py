@@ -108,8 +108,16 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     # posting mode A/B knob; file-shuffle is the production default.
     # n_tparts is FIXED (not cpus-derived) so the N->4N scaling pair
     # measures the same work decomposition at both parallelism levels.
+    # 64 (not 32): the round-3 tpart A/B showed 32 tparts = exactly 2
+    # task waves at local[16], so the 1.35x max/median task skew lands
+    # on the critical path, and the fatter per-task state (1/32 of all
+    # postings) raises aggregate memory pressure at 16 concurrent
+    # encoders; 64 packs 4 waves and halves per-task state (postings
+    # stage 12.2s -> ~6.1s at local[16]) while staying within noise of
+    # 32 at local[4]. 128 pays ~13% more stage_tf at local[4] (4x file
+    # fan-out) for no extra postings win over 64.
     mode = os.environ.get("BENCH_POSTING_MODE", "file-shuffle")
-    n_tparts = int(os.environ.get("BENCH_N_TPARTS", "32"))
+    n_tparts = int(os.environ.get("BENCH_N_TPARTS", "64"))
     t0 = time.perf_counter()
     build_index(
         spark, corpus, sdir, doc_id_col="doc_id",

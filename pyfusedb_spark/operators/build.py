@@ -503,10 +503,15 @@ def build_index(
     ds_sha_dir = os.path.join(out_dir, "doc_sha")
     n_tparts_cfg = None
     if config.posting_mode == "file-shuffle":
-        n_tparts_cfg = (
-            config.n_tparts
-            or config.shuffle_partitions
-            or spark.sparkContext.defaultParallelism
+        # default 4x the parallelism, not 1x: with n_tparts == task
+        # slots the posting stage is ONE wave and any task skew lands
+        # directly on the critical path; 4 waves let the scheduler pack
+        # around stragglers and quarter each encoder's in-memory state
+        # (measured: postings stage halved at local[16] going 2 -> 4
+        # waves on the 1M-doc bench). Explicit n_tparts still wins —
+        # size it up with corpus size so a tpart fits executor memory.
+        n_tparts_cfg = config.n_tparts or 4 * (
+            config.shuffle_partitions or spark.sparkContext.defaultParallelism
         )
     if m_tf is None:
         t0 = time.perf_counter()
