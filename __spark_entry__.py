@@ -489,15 +489,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _INDEX_CACHE[key]
         query = "merging sorted indexes"
         hits = idx.search(query, 10)
-        rows = _docs(spark, sf).select("doc_id", "text").collect()
+        # In-entry exactness assert needs the oracle to see the FULL
+        # corpus (idf/avgdl are global), so the driver-side collect is
+        # capped: beyond ORACLE_CAP docs the full-corpus rank assert is
+        # replaced by a subset assert — engine index + oracle both built
+        # over the same deterministic doc_id-hash subsample — keeping an
+        # exactness check at any sf with bounded driver memory.
+        ORACLE_CAP = 50_000
+        docs_df = _docs(spark, sf).select("doc_id", "text")
+        rows = docs_df.limit(ORACLE_CAP + 1).collect()
+        if len(rows) > ORACLE_CAP:
+            sub = docs_df.where(F.pmod(F.xxhash64("doc_id"), F.lit(97)) == 0)
+            rows = sub.limit(ORACLE_CAP + 1).collect()
+            assert len(rows) <= ORACLE_CAP, "subsample still over oracle cap"
+            sub_out = os.path.join(
+                tempfile.gettempdir(), "pyfusedb_entry_idx_en_sub",
+                os.path.abspath(sf).strip("/").replace("/", "_")
+                + "_" + _fixture_sig(sf, "documents.parquet"),
+            )
+            if not os.path.exists(os.path.join(sub_out, "stats.json")):
+                os.makedirs(sub_out, exist_ok=True)
+                build_index(
+                    spark, sub, sub_out, content_col="text", doc_id_col="doc_id",
+                    config=IndexConfig(preset="english", n_buckets=4),
+                )
+            sub_hits = FuseIndex(spark, sub_out).search(query, 10)
+        else:
+            sub_hits = hits
         expected = (
             OracleIndex(Analyzer("english"))
             .build([(int(r["doc_id"]), r["text"]) for r in rows])
             .search_bm25(query, 10)
         )
-        assert [(d, round(s, 9)) for d, s in hits] == [
+        assert [(d, round(s, 9)) for d, s in sub_hits] == [
             (d, round(s, 9)) for d, s in expected
-        ], f"stemmed BM25 diverged from oracle: {hits} vs {expected}"
+        ], f"stemmed BM25 diverged from oracle: {sub_hits} vs {expected}"
         return spark.createDataFrame(
             [(int(d), float(round(s, 6))) for d, s in hits], "doc_id long, score double"
         )

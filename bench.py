@@ -248,6 +248,31 @@ def main() -> None:
     extras["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     idx = FuseIndex(spark, idx_dir)
 
+    # ---- same build with DuckDB blocked: the manifest/stats path a real
+    # multi-executor cluster takes (driver-local duckdb shortcuts only
+    # exist for toy-scale scheduling latency). sys.modules poisoning makes
+    # `import duckdb` raise inside build_index, mirroring
+    # tests/test_build_spark_fallback.py. ----
+    _SENTINEL = object()
+    saved_duckdb = sys.modules.get("duckdb", _SENTINEL)
+    sys.modules["duckdb"] = None
+    try:
+        sp_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_bench_idx_sp_{cpus}")
+        shutil.rmtree(sp_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            spark, docs, sp_dir, content_col="text", doc_id_col="doc_id",
+            config=IndexConfig(preset="simple", n_buckets=4, shuffle_partitions=cpus),
+            resume=False,
+        )
+        timings["build_index_sparkpath"] = round(time.perf_counter() - t0, 3)
+    finally:
+        if saved_duckdb is _SENTINEL:
+            sys.modules.pop("duckdb", None)
+        else:
+            sys.modules["duckdb"] = saved_duckdb
+        shutil.rmtree(sp_dir, ignore_errors=True)
+
     # ---- BM25 / TF-IDF query latency (driver WAND path), median of 5 ----
     timings["q_bm25_hot"] = _med(lambda: idx.search("join", 10))
     timings["q_bm25_multi"] = _med(lambda: idx.search("merge sort join", 10))
@@ -289,6 +314,15 @@ def main() -> None:
     extras["ivf_probe_recall_at_10"] = round(len(probe_ids & exact_ids) / 10, 2)
     timings["ann_ivf_adaptive"] = _med(lambda: ivf.topk_exact(qv1, 10).collect(), n=3)
     extras["ivf_adaptive_scanned_cells"] = ivf.last_scanned_cells
+    # graph ANN tier (NSW-over-IVF, the HNSW analog): build once
+    # (untimed) beside the bench IVF, then probe latency + recall
+    graph = knn.PersistedGraphANN.build(ivf, m=8, seg_target=4096)
+    timings["ann_graph_probe"] = _med(
+        lambda: graph.topk(qv1, 10, nprobe=6, ef=64).collect(), n=3
+    )
+    g_ids = {r["vec_id"] for r in graph.topk(qv1, 10, nprobe=6, ef=64).collect()}
+    extras["graph_probe_recall_at_10"] = round(len(g_ids & exact_ids) / 10, 2)
+
     lsh_ids = {
         r["vec_id"]
         for r in knn.lsh_ann_topk(emb, qv, 10, n_planes=16, max_hamming=8).collect()
