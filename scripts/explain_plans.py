@@ -115,6 +115,16 @@ def main() -> None:
         fmt(ivf.topk(qv, 10, nprobe=3)),
     ))
 
+    graph = knn.PersistedGraphANN.build(ivf, m=4, seg_target=4096)
+    sections.append((
+        "NSW graph ANN probe (per-segment beam search over the IVF cells)",
+        "Expect: Scan parquet of graph/ with PartitionFilters [cell IN (…)] "
+        "— beam search touches only the probed cell directories; one "
+        "exchange on (cell, seg) feeds FlatMapGroupsInPandas (the per-"
+        "segment beam), then the k-row-per-query window top-k.",
+        fmt(graph.topk(qv, 10, nprobe=3, ef=32)),
+    ))
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("sum_qty"))
     sections.append((
