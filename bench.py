@@ -106,18 +106,20 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     ).mode("overwrite").save()
     corpus.limit(2000).count()  # touch the corpus files too
     # posting mode A/B knob; file-shuffle is the production default.
-    # n_tparts is FIXED (not cpus-derived) so the N->4N scaling pair
-    # measures the same work decomposition at both parallelism levels.
-    # 64 (not 32): the round-3 tpart A/B showed 32 tparts = exactly 2
-    # task waves at local[16], so the 1.35x max/median task skew lands
-    # on the critical path, and the fatter per-task state (1/32 of all
-    # postings) raises aggregate memory pressure at 16 concurrent
-    # encoders; 64 packs 4 waves and halves per-task state (postings
-    # stage 12.2s -> ~6.1s at local[16]) while staying within noise of
-    # 32 at local[4]. 128 pays ~13% more stage_tf at local[4] (4x file
-    # fan-out) for no extra postings win over 64.
+    # n_tparts is rows-derived, NOT cpus-derived, so the N->4N scaling
+    # pair measures the same work decomposition at both parallelism
+    # levels. Target ~16k docs per tpart, clamped to [16, 64]:
+    # - at 1M rows -> 64: the round-3 tpart A/B showed 32 tparts = only
+    #   2 task waves at local[16], putting the 1.35x max/median task
+    #   skew on the critical path; 64 packs 4 waves and halves per-task
+    #   state (postings stage 12.2s -> 4.8s at local[16]). 128 pays
+    #   ~13% more stage_tf (file fan-out) for no extra postings win.
+    # - at 150k rows -> 16: 64 tparts over a small corpus is pure file
+    #   fan-out overhead (A/B: build 14.5s@64 vs 4.0s@16).
     mode = os.environ.get("BENCH_POSTING_MODE", "file-shuffle")
-    n_tparts = int(os.environ.get("BENCH_N_TPARTS", "64"))
+    n_tparts = int(
+        os.environ.get("BENCH_N_TPARTS", str(max(16, min(64, synth_rows // 15_625))))
+    )
     t0 = time.perf_counter()
     build_index(
         spark, corpus, sdir, doc_id_col="doc_id",
