@@ -46,8 +46,10 @@ data dirs).
 Scale notes (100 TB / 1000 executors): stage "tf" is scan→write with
 zero live shuffles; the posting stage moves data only through the
 tpart files. n_tparts bounds per-encoder-task memory (≈ |postings| *
-12B / n_tparts) — raise it with corpus size exactly like n_buckets
-bounds chunk size; tf file fan-out is n_scan_tasks x n_tparts, so at
+12B / n_tparts) — the default is corpus-derived (~DOCS_PER_TPART docs
+per tpart, capped at 4x parallelism) so it grows with the corpus
+exactly like n_buckets bounds chunk size, and a toy build doesn't pay
+cluster-sized file fan-out; tf file fan-out is n_scan_tasks x n_tparts, so at
 10^5 map tasks consolidate with a coarser n_tparts per wave or an
 intermediate combine. Executors read/write storage directly (local FS
 here; HDFS/S3 via pyarrow.fs on a cluster).
@@ -99,11 +101,26 @@ class IndexConfig:
     #   job per doc-range bucket -> finest resume granularity.
     # "single-pass": legacy live exchange, ONE job for all buckets.
     posting_mode: str = "file-shuffle"
-    # file-shuffle fan-out; None -> shuffle_partitions or default
-    # parallelism. Bounds per-task memory (one tpart of packed runs) —
-    # raise with corpus size; keep CONSTANT across cluster sizes when
+    # file-shuffle fan-out; None -> corpus-derived (~DOCS_PER_TPART docs
+    # per tpart, capped at 4x parallelism). Bounds per-task memory (one
+    # tpart of packed runs) — set explicitly when docs are far fatter
+    # than the testdata mix; keep CONSTANT across cluster sizes when
     # measuring scaling (same work decomposition at N and 4N).
     n_tparts: int | None = None
+
+
+# Measured A/B sweet spot (BENCH/BASELINE.md tpart sweep): 1M docs -> 64
+# tparts (4 task waves at local[16], halved per-task state), 150k -> ~10-16
+# (64 there is pure tf-file fan-out: tf files = scan_tasks x n_tparts),
+# 5k -> 1. Default derives from corpus size so toy builds don't pay
+# cluster-sized fan-out; the 4x-parallelism cap keeps the skew-amortizing
+# "4 waves" shape at cluster scale (raise n_tparts explicitly when a
+# tpart's packed postings would outgrow executor memory).
+DOCS_PER_TPART = 15_625
+
+
+def _default_n_tparts(n_docs: int, parallelism: int) -> int:
+    return max(1, min(math.ceil(n_docs / DOCS_PER_TPART), 4 * parallelism))
 
 
 def _local_agg(sql: str) -> dict:
@@ -501,18 +518,11 @@ def build_index(
     #      clusters / non-local filesystems).
     m_tf = cat.read_manifest("stage_tf") if resume else None
     ds_sha_dir = os.path.join(out_dir, "doc_sha")
+    # resolved inside the file-shuffle branch once n_docs is known —
+    # the default is corpus-derived (see _default_n_tparts), and tf
+    # file fan-out is scan_tasks x n_tparts so oversizing it at toy
+    # scale is pure file-commit overhead.
     n_tparts_cfg = None
-    if config.posting_mode == "file-shuffle":
-        # default 4x the parallelism, not 1x: with n_tparts == task
-        # slots the posting stage is ONE wave and any task skew lands
-        # directly on the critical path; 4 waves let the scheduler pack
-        # around stragglers and quarter each encoder's in-memory state
-        # (measured: postings stage halved at local[16] going 2 -> 4
-        # waves on the 1M-doc bench). Explicit n_tparts still wins —
-        # size it up with corpus size so a tpart fits executor memory.
-        n_tparts_cfg = config.n_tparts or 4 * (
-            config.shuffle_partitions or spark.sparkContext.defaultParallelism
-        )
     if m_tf is None:
         t0 = time.perf_counter()
         _dbg = os.environ.get("PYFUSEDB_TIMING") == "1"
@@ -550,6 +560,11 @@ def build_index(
                 ).collect()[0]
                 n_docs, max_id = int(r["n"]), int(r["m"] or 0)
             bucket_span = max(1, math.ceil((max_id + 1) / config.n_buckets))
+            n_tparts_cfg = config.n_tparts or _default_n_tparts(
+                n_docs,
+                config.shuffle_partitions
+                or spark.sparkContext.defaultParallelism,
+            )
             staging_tf = cat.staging_dir(tf_dir)
             staging_sha = cat.staging_dir(ds_sha_dir)
             os.makedirs(staging_tf, exist_ok=True)

@@ -61,6 +61,16 @@ def parse_query(query: str, default_table: str = "files") -> ParsedQuery:
                         limit = None
                 span = span[:li]
             like_term = " ".join(span) if span else None
+        elif "limit" in rest:
+            # no-LIKE queries honor a trailing LIMIT too (the reference
+            # parser only uses 'limit' as a like-term terminator and
+            # drops the number, app/SqlParser.py:26-30 — we keep it)
+            li = rest.index("limit")
+            if li + 1 < len(rest):
+                try:
+                    limit = int(rest[li + 1])
+                except ValueError:
+                    limit = None
         return ParsedQuery(fields=fields or ["*"], table=table, like_term=like_term, limit=limit)
     except (ValueError, IndexError):
         return default
