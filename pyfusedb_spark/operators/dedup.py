@@ -428,33 +428,70 @@ def embedding_near_duplicates_bucketed(
         for j in cells:  # both orientations: a<b can sit either way
             if math.cos(max(0.0, ang_cc[i, j] - radii[i] - radii[j])) >= threshold:
                 allowed.append((i, j))
-    # join keyed by the PAIR index, not the cell: both sides explode
-    # against the broadcast whitelist first, so the equi-join has up to
-    # nlist^2 distinct keys (full shuffle parallelism) instead of nlist
-    # (which serialized the heavy cosine-verify stage onto nlist tasks)
+    # verify keyed by the PAIR index, not the cell: both sides explode
+    # against the broadcast whitelist first, so the shuffle has up to
+    # nlist^2 distinct keys (full parallelism) instead of nlist (which
+    # serialized the heavy cosine-verify stage onto nlist tasks). The
+    # verify kernel itself is ONE blocked float64 GEMM per cell pair
+    # (applyInPandas group = |i|+|j| rows in, |i|x|j| scored at BLAS
+    # speed) — the earlier per-candidate-row join evaluated interpreted
+    # zip_with/aggregate higher-order expressions 4M times, which is
+    # outside whole-stage codegen and allocation-heavy (5-50s at sf0.1
+    # depending on GC pressure; the GEMM is stable sub-second). Group
+    # memory is |i|x|j| bounded by L-row chunking; nlist scales with
+    # corpus size so cell blocks stay executor-sized (same contract as
+    # the persisted IVF cells).
     pair_whitelist = spark.createDataFrame(
         [(i, cl, cr) for i, (cl, cr) in enumerate(allowed)], "pair int, cl int, cr int"
     )
-    l, r = n.alias("l"), n.alias("r")
-    l_exp = l.join(F.broadcast(pair_whitelist), F.col("l.cell") == F.col("cl"))
-    r_exp = r.join(
-        F.broadcast(pair_whitelist.select(F.col("pair").alias("pair_r"), "cr")),
-        F.col("r.cell") == F.col("cr"),
+    l_mem = n.join(F.broadcast(pair_whitelist), F.col("cell") == F.col("cl")).select(
+        "pair", F.lit(0).alias("side"), "id", "v", "nrm"
     )
-    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    denom = F.col("l.nrm") * F.col("r.nrm")
+    r_mem = n.join(
+        F.broadcast(pair_whitelist.select(F.col("pair"), "cr")),
+        F.col("cell") == F.col("cr"),
+    ).select("pair", F.lit(1).alias("side"), "id", "v", "nrm")
+    thr = float(threshold)
+
+    def _gemm_verify(pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        lm = pdf[pdf["side"] == 0]
+        rm = pdf[pdf["side"] == 1]
+        if lm.empty or rm.empty:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        lv = np.stack(lm["v"].to_numpy()).astype(np.float64, copy=False)
+        rv = np.stack(rm["v"].to_numpy()).astype(np.float64, copy=False)
+        lid = lm["id"].to_numpy(dtype=np.int64)
+        rid = rm["id"].to_numpy(dtype=np.int64)
+        lnrm = lm["nrm"].to_numpy(dtype=np.float64)
+        rnrm = rm["nrm"].to_numpy(dtype=np.float64)
+        outs = []
+        step = max(1, (4 << 20) // max(1, len(rid)))  # ~4M-cell C blocks
+        for s in range(0, len(lid), step):
+            c = lv[s : s + step] @ rv.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c /= np.outer(lnrm[s : s + step], rnrm)
+            c[~np.isfinite(c)] = 0.0  # zero-norm rows -> cosine 0.0
+            ia, ib = np.nonzero((c >= thr) & (lid[s : s + step, None] < rid[None, :]))
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {"a": lid[s + ia], "b": rid[ib], "cosine": c[ia, ib]}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
     out = (
-        l_exp.join(
-            r_exp,
-            (F.col("pair") == F.col("pair_r")) & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+        l_mem.unionByName(r_mem)
+        .groupBy("pair")
+        .applyInPandas(_gemm_verify, "a long, b long, cosine double")
     )
     # materialize while `n` (assignment + norms) is cached, then release
     # the pin — same pattern as minhash_near_duplicates
