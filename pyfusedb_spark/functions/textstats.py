@@ -52,8 +52,10 @@ def bpe_token_count(col: str) -> Column:
 
 def stopword_ratio(col: str) -> Column:
     toks = tokens_expr(col)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # t IN (<179 literals>) compiles to InSet (one hash probe per token);
+    # the previous array_contains over a literal array was a linear scan
+    # per token — O(|toks| x |stopwords|) interpreted work per document
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -122,7 +124,6 @@ def text_profile(df, text_col: str, id_col: str):
     individual expressions above are combined in a single select."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
     toks = df.select(
         F.col(id_col),
         F.col(text_col).alias("_text"),
@@ -136,7 +137,8 @@ def text_profile(df, text_col: str, id_col: str):
         ).cast("long").alias("n_bpe"),
         F.when(
             F.size("_toks") > 0,
-            F.size(F.filter("_toks", lambda t: F.array_contains(sw, t)))
+            # InSet hash probe per token, not a 179-element array scan
+            F.size(F.filter("_toks", lambda t: t.isin(*STOPWORDS)))
             / F.size("_toks"),
         ).otherwise(F.lit(0.0)).alias("_swr"),
         F.when(
