@@ -303,7 +303,7 @@ def main() -> None:
         "max/median task CPU measured at 1M docs) by salting the route",
         "key with the doc-range bucket.",
         "",
-        f"Engine-vs-machine: the same-window raw-CPU ceiling below is "
+        f"Engine-vs-machine: the report-time raw-CPU ceiling below is "
         f"{hw_eff:.2f}, so the engine achieves **{eff / hw_eff if hw_eff else 0:.2f} of what "
         "this host itself scales to** (a ratio slightly above 1.0 is",
         "possible: the sha256 burn is pure cache-resident compute, while",
