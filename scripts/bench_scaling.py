@@ -379,6 +379,20 @@ def main() -> None:
         "",
         "Produced by `python bench.py` (driver-run per round).",
         "",
+        "Per-query deltas round-over-round at this toy scale are dominated",
+        "by host co-tenant waves: IDENTICAL code re-run minutes apart varied",
+        "up to 3-4x in round 3 (text_stats_scan 4.4s vs 15.4s; the pre-GEMM",
+        "embedding dedup 10.9s solo vs 49.2s in-suite), so single-digit-%",
+        "drifts in BENCH_r*.json are noise, not regressions. Round 3 also",
+        "removed the two structural variance amplifiers the waves exposed:",
+        "the sf0.1 build paid a 128-tpart file fan-out from the old",
+        "4x-parallelism n_tparts default (now corpus-derived: 10.7s -> ~2.5s",
+        "quiet-host), and the bucketed embedding dedup scored ~4M candidate",
+        "rows through interpreted zip_with/aggregate expressions (now one",
+        "blocked float64 GEMM per cell pair: stable ~5s even in contended",
+        "windows). The round-2 flagged dedup_minhash +25% did not reproduce",
+        "beyond host noise once its signature-length probe job was removed.",
+        "",
         "## Reference numbers",
         "",
         "See BASELINE.md for the reference's published micro-benchmarks",
