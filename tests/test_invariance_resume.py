@@ -223,3 +223,19 @@ def test_promote_dir_drops_sibling_stagings(tmp_path):
     ManifestCatalog.promote_dir(str(fresh), str(final))
     assert (final / "part-0.parquet").exists()
     assert not stale.exists() and not fresh.exists()
+
+
+def test_default_n_tparts_corpus_derived():
+    """The file-shuffle fan-out default scales with the corpus, not the
+    cluster: toy builds must not pay cluster-sized tf file fan-out
+    (bench A/B: 5k docs at 128 tparts was 9x slower than at 1-4), and
+    the 4x-parallelism cap keeps the skew-amortizing 4-wave shape."""
+    from pyfusedb_spark.operators.build import DOCS_PER_TPART, _default_n_tparts
+
+    assert _default_n_tparts(0, 32) == 1
+    assert _default_n_tparts(5_000, 32) == 1
+    assert _default_n_tparts(150_000, 32) == 10
+    assert _default_n_tparts(1_000_000, 16) == 64  # the scaling-bench point
+    assert _default_n_tparts(10**9, 16) == 64  # capped at 4x parallelism
+    assert _default_n_tparts(10**6, 4096) == 10**6 // DOCS_PER_TPART  # 64, uncapped
+    assert _default_n_tparts(10**9, 4096) == 4 * 4096  # cap binds at 10^9 docs
