@@ -386,6 +386,7 @@ def embedding_near_duplicates_bucketed(
     n_cells: int = 16,
     sample_n: int = 4096,
     seed: int = 17,
+    max_group_rows: int = 1 << 16,
 ) -> DataFrame:
     """Scale path for embedding near-dup: IVF-cell-bucketed candidate
     generation + exact cosine verify. EXACT (recall-lossless) — returns
@@ -416,10 +417,14 @@ def embedding_near_duplicates_bucketed(
         F.col(vec_col).alias("v"),
         F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
     ).persist()
+    cell_stats = n.groupBy("cell").agg(
+        F.min("cell_cos").alias("mc"), F.count(F.lit(1)).alias("cnt")
+    ).collect()
     radii = {
         int(r["cell"]): math.acos(max(-1.0, min(1.0, float(r["mc"]))))
-        for r in n.groupBy("cell").agg(F.min("cell_cos").alias("mc")).collect()
+        for r in cell_stats
     }
+    cell_sizes = {int(r["cell"]): int(r["cnt"]) for r in cell_stats}
     cos_cc = np.clip(cents @ cents.T, -1.0, 1.0)
     ang_cc = np.arccos(cos_cc)
     allowed: list[tuple[int, int]] = []
@@ -438,19 +443,39 @@ def embedding_near_duplicates_bucketed(
     # zip_with/aggregate higher-order expressions 4M times, which is
     # outside whole-stage codegen and allocation-heavy (5-50s at sf0.1
     # depending on GC pressure; the GEMM is stable sub-second). Group
-    # memory is |i|x|j| bounded by L-row chunking; nlist scales with
-    # corpus size so cell blocks stay executor-sized (same contract as
-    # the persisted IVF cells).
+    # memory: the |i|x|j| score matrix is bounded by L-row chunking, and
+    # the INPUT group itself is bounded too (advice r3): any side larger
+    # than max_group_rows is hash-split into ceil(|side|/cap) sub-chunks
+    # and the opposite side replicated across them, so a group holds at
+    # most ~2*max_group_rows vectors regardless of how dense one IVF
+    # cell gets. Sub-splitting is the identity (nsl=nsr=1, no explode
+    # blow-up) whenever cells already fit.
     pair_whitelist = spark.createDataFrame(
-        [(i, cl, cr) for i, (cl, cr) in enumerate(allowed)], "pair int, cl int, cr int"
+        [
+            (
+                i, cl, cr,
+                max(1, -(-cell_sizes.get(cl, 0) // max_group_rows)),
+                max(1, -(-cell_sizes.get(cr, 0) // max_group_rows)),
+            )
+            for i, (cl, cr) in enumerate(allowed)
+        ],
+        "pair int, cl int, cr int, nsl int, nsr int",
     )
-    l_mem = n.join(F.broadcast(pair_whitelist), F.col("cell") == F.col("cl")).select(
-        "pair", F.lit(0).alias("side"), "id", "v", "nrm"
+    l_mem = (
+        n.join(F.broadcast(pair_whitelist), F.col("cell") == F.col("cl"))
+        .withColumn("sub_l", F.pmod(F.xxhash64("id"), F.col("nsl")).cast("int"))
+        .withColumn("sub_r", F.explode(F.sequence(F.lit(0), F.col("nsr") - 1)))
+        .select("pair", "sub_l", "sub_r", F.lit(0).alias("side"), "id", "v", "nrm")
     )
-    r_mem = n.join(
-        F.broadcast(pair_whitelist.select(F.col("pair"), "cr")),
-        F.col("cell") == F.col("cr"),
-    ).select("pair", F.lit(1).alias("side"), "id", "v", "nrm")
+    r_mem = (
+        n.join(
+            F.broadcast(pair_whitelist.select("pair", "cr", "nsl", "nsr")),
+            F.col("cell") == F.col("cr"),
+        )
+        .withColumn("sub_r", F.pmod(F.xxhash64("id"), F.col("nsr")).cast("int"))
+        .withColumn("sub_l", F.explode(F.sequence(F.lit(0), F.col("nsl") - 1)))
+        .select("pair", "sub_l", "sub_r", F.lit(1).alias("side"), "id", "v", "nrm")
+    )
     thr = float(threshold)
 
     def _gemm_verify(pdf):
@@ -490,7 +515,7 @@ def embedding_near_duplicates_bucketed(
 
     out = (
         l_mem.unionByName(r_mem)
-        .groupBy("pair")
+        .groupBy("pair", "sub_l", "sub_r")
         .applyInPandas(_gemm_verify, "a long, b long, cosine double")
     )
     # materialize while `n` (assignment + norms) is cached, then release

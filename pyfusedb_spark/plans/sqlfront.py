@@ -59,6 +59,8 @@ def parse_query(query: str, default_table: str = "files") -> ParsedQuery:
                         limit = int(span[li + 1])
                     except ValueError:
                         limit = None
+                    if limit is not None and limit < 0:
+                        limit = None  # negative LIMIT: ignore the clause
                 span = span[:li]
             like_term = " ".join(span) if span else None
         elif "limit" in rest:
@@ -71,6 +73,8 @@ def parse_query(query: str, default_table: str = "files") -> ParsedQuery:
                     limit = int(rest[li + 1])
                 except ValueError:
                     limit = None
+                if limit is not None and limit < 0:
+                    limit = None  # negative LIMIT: ignore the clause
         return ParsedQuery(fields=fields or ["*"], table=table, like_term=like_term, limit=limit)
     except (ValueError, IndexError):
         return default
@@ -116,12 +120,23 @@ class FuseSession:
         spark = self.index.spark
         parsed = parse_query(query, self.default_table)
         fields = self._expand_fields(parsed.fields)
-        k = min(top_k, parsed.limit) if parsed.limit else top_k
+        # LIMIT 0 is honored as "zero rows" (explicit, not falsy-dropped);
+        # negative limits were already discarded by the parser
+        k = min(top_k, parsed.limit) if parsed.limit is not None else top_k
 
         if parsed.like_term is None:
             # Q4: no-search fallback — first min(k, N) rows, score 1.0
             base = self.corpus.orderBy(F.asc(self.id_col)).limit(min(k, self.index.n_docs))
             return self._project(base.withColumn("score", F.lit(1.0)), fields)
+
+        if k <= 0:  # LIMIT 0: empty result, skip the search entirely
+            empty = spark.createDataFrame([], schema="doc_id long, score double")
+            return self._project(
+                self.corpus.join(
+                    empty.withColumnRenamed("doc_id", self.id_col), self.id_col
+                ),
+                fields,
+            )
 
         if distributed:
             results = self.index.search_distributed(parsed.like_term, k, mode, conjunctive)

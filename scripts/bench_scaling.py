@@ -225,7 +225,13 @@ def main() -> None:
     # (SCALING_TAG_EQUIV_REASON) are printed into BASELINE.md so it is
     # auditable; never use this across changes that alter executed code.
     equiv = {t for t in os.environ.get("SCALING_TAG_EQUIV", "").split(",") if t.strip()}
-    equiv_reason = os.environ.get("SCALING_TAG_EQUIV_REASON", "")
+    equiv_reason = os.environ.get("SCALING_TAG_EQUIV_REASON", "").strip()
+    if equiv and not equiv_reason:
+        raise SystemExit(
+            "SCALING_TAG_EQUIV set without SCALING_TAG_EQUIV_REASON — "
+            "declaring prior-tag windows measurement-equivalent requires a "
+            "non-empty, auditable basis (advice r3)."
+        )
     accept = {version, *equiv}
     for cpus in (n_low, n_hi):
         best = _best_recorded(cpus, rows, accept)

@@ -92,3 +92,26 @@ def test_embedding_near_duplicates_bucketed_equals_brute(spark):
         ).collect()
     )
     assert brute == bucketed and len(brute) > 0
+
+
+def test_embedding_bucketed_group_bound_subsplit(spark):
+    """max_group_rows far below cell size forces the sub-split path
+    (nsl/nsr > 1); the pair set must stay identical and deduplicated
+    (advice r3: the input group is now bounded, not just the score
+    matrix)."""
+    rng = __import__("numpy").random.default_rng(23)
+    vecs = [(i, [float(v) for v in rng.standard_normal(16)]) for i in range(120)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    base = sorted(
+        (r["a"], r["b"], round(r["cosine"], 9))
+        for r in dedup.embedding_near_duplicates_bucketed(
+            emb, threshold=0.4, n_cells=4, sample_n=120
+        ).collect()
+    )
+    split = sorted(
+        (r["a"], r["b"], round(r["cosine"], 9))
+        for r in dedup.embedding_near_duplicates_bucketed(
+            emb, threshold=0.4, n_cells=4, sample_n=120, max_group_rows=8
+        ).collect()
+    )
+    assert base == split and len(base) > 0

@@ -169,3 +169,18 @@ def test_chunk_cache_hits_and_stays_correct(pangram_index):
         idx._fetch_chunks_uncached = orig
     assert fetches["n"] == 0, "cached terms were refetched"
     assert first == second
+
+
+def test_sqlfront_limit_zero_and_negative(spark, pangram_index):
+    """LIMIT 0 -> zero rows (no AnalysisException); negative LIMIT -> as
+    if absent (advice r3: negative reached DataFrame.limit() before)."""
+    from pyfusedb_spark.plans.sqlfront import FuseSession
+
+    corpus = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(PANGRAMS)], "doc_id long, content string"
+    )
+    sess = FuseSession(corpus, pangram_index, default_table="t")
+    assert sess.sql("SELECT content FROM t LIKE quick LIMIT 0").count() == 0
+    assert sess.sql("SELECT content FROM t LIMIT 0").count() == 0
+    neg = sess.sql("SELECT content FROM t LIKE quick LIMIT -5", top_k=3)
+    assert neg.count() == 3  # clause ignored, top_k governs

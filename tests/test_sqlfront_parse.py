@@ -44,3 +44,15 @@ def test_garbage_falls_back_to_default():
     p = parse_query("garbage ,,, input !!", "files")
     assert p.table == "files"
     assert p.like_term is None
+
+
+def test_negative_limit_ignored():
+    # a negative LIMIT must not reach DataFrame.limit() (AnalysisException)
+    assert parse_query("SELECT a FROM t LIMIT -5", "t").limit is None
+    assert parse_query("SELECT a FROM t LIKE q LIMIT -1", "t").limit is None
+
+
+def test_limit_zero_kept():
+    # LIMIT 0 is a real value (zero rows), not "no limit"
+    assert parse_query("SELECT a FROM t LIMIT 0", "t").limit == 0
+    assert parse_query("SELECT a FROM t LIKE q LIMIT 0", "t").limit == 0
