@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+from pyfusedb_spark import fsio
 from pyfusedb_spark.analysis import Analyzer
 from pyfusedb_spark.functions import codec
 
@@ -246,17 +247,14 @@ def make_tf_fused_task(
     def run(batches):
         import hashlib
 
-        import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         az = _get_analyzer(preset)
         analyze = az.analyze
-        writers: dict[int, "pq.ParquetWriter"] = {}
-        paths: dict[int, tuple[str, str]] = {}
+        writers: dict[int, fsio.AtomicParquetWriter] = {}
         sha_writer = None
-        sha_paths = None
         ndocs = 0
         for batch in batches:
             if not batch.num_rows:
@@ -270,10 +268,11 @@ def make_tf_fused_task(
                 {"doc_id": pa.array(ids, pa.int64()), "sha256": pa.array(shas, pa.string())}
             )
             if sha_writer is None:
-                os.makedirs(staging_sha, exist_ok=True)
-                tmp = os.path.join(staging_sha, f".part-{pid:05d}.inprogress")
-                sha_paths = (tmp, os.path.join(staging_sha, f"part-{pid:05d}.parquet"))
-                sha_writer = pq.ParquetWriter(tmp, sha_tbl.schema, compression="snappy")
+                fsio.makedirs(staging_sha)
+                sha_writer = fsio.AtomicParquetWriter(
+                    fsio.join(staging_sha, f"part-{pid:05d}.parquet"),
+                    sha_tbl.schema, compression="snappy",
+                )
             sha_writer.write_table(sha_tbl)
             ndocs += len(ids)
             rb = pack_batch(ids, [Counter(analyze(c or "")) for c in contents])
@@ -286,20 +285,18 @@ def make_tf_fused_task(
                 sub = tbl.take(pa.array(np.flatnonzero(tps == tp)))
                 w = writers.get(tp)
                 if w is None:
-                    d = os.path.join(staging_tf, f"tpart={tp}")
-                    os.makedirs(d, exist_ok=True)
-                    tmp = os.path.join(d, f".part-{pid:05d}.inprogress")
-                    paths[tp] = (tmp, os.path.join(d, f"part-{pid:05d}.parquet"))
-                    w = pq.ParquetWriter(tmp, sub.schema, compression="snappy")
+                    d = fsio.join(staging_tf, f"tpart={tp}")
+                    fsio.makedirs(d)
+                    w = fsio.AtomicParquetWriter(
+                        fsio.join(d, f"part-{pid:05d}.parquet"),
+                        sub.schema, compression="snappy",
+                    )
                     writers[tp] = w
                 w.write_table(sub)
         for w in writers.values():
             w.close()
         if sha_writer is not None:
             sha_writer.close()
-            os.replace(*sha_paths)
-        for tmp, fin in paths.values():
-            os.replace(tmp, fin)
         yield pa.RecordBatch.from_arrays(
             [pa.array([pid], pa.int32()), pa.array([ndocs], pa.int64())],
             schema=out_schema,
@@ -505,8 +502,8 @@ TPART_STATS_SCHEMA = T.StructType(
 
 def make_tpart_build_task(
     tf_dir: str,
-    staging_idx: str,
-    staging_lex: str,
+    idx_dir: str,
+    lex_dir: str,
     avgdl: float,
     k1: float,
     b: float,
@@ -529,13 +526,20 @@ def make_tpart_build_task(
          lives in exactly one tpart, so one chunk per (term, bucket) —
          the doc-ordered-concatenation invariant the WAND cursors need
          is preserved);
-      3. write the encoded chunk files AND its lexicon slice itself
-         (term-sorted, small row groups for query-side row-group
-         pruning) under the driver-provided STAGING dirs, tmp+rename so
-         task retries are idempotent;
+      3. FINALIZE its own slices task-side: first delete any previous
+         ``bucket=*/tpart=P`` + ``lexicon/tpart=P`` dirs (a prior failed
+         attempt / a rebuild), then write the encoded chunk files AND
+         its lexicon slice (term-sorted, small row groups for query-side
+         row-group pruning) straight into the FINAL dirs, each file
+         appearing atomically (fsio.write_parquet_atomic). The former
+         driver-serial staging→live promote loop — O(n_buckets x
+         n_tparts) directory renames of driver metadata work on the
+         critical path — no longer exists; a tpart becomes *visible*
+         only through its manifest commit, and a crash mid-task leaves
+         partially-written final dirs that the re-run deletes first
+         (readers never trust an unmanifested tpart);
       4. yield only tiny per-(tpart,bucket) stats rows — the driver
-         builds segment manifests from them with zero read-back jobs,
-         then atomically promotes the staging dirs.
+         builds segment manifests from them with zero read-back jobs.
 
     The final layout ``index/bucket=K/tpart=P/part-0.parquet`` is
     directly addressable at query time: a term's chunks live exactly at
@@ -565,24 +569,29 @@ def make_tpart_build_task(
     )
 
     def _write_atomic(tbl: "pa.Table", out_path: str) -> int:
-        tmp = out_path + ".inprogress"
-        import pyarrow.parquet as pq
-
         # stats only on `term` (the pruning key): min/max over multi-MB
         # binary payload cells is pure write-time overhead; dictionary
         # encoding of unique payloads likewise
-        pq.write_table(
-            tbl, tmp, row_group_size=row_group_rows, compression="snappy",
+        return fsio.write_parquet_atomic(
+            tbl, out_path, row_group_size=row_group_rows, compression="snappy",
             use_dictionary=False, write_statistics=["term"],
         )
-        os.replace(tmp, out_path)
-        return os.path.getsize(out_path)
+
+    def _clean_own_slices(tp: int) -> None:
+        # task-side finalize, step 1: this tpart's previous output (a
+        # failed attempt mid-task, or an overwrite rebuild) must go
+        # before new files land — nothing else ever writes tpart=P dirs
+        for name in fsio.listdir(idx_dir):
+            if name.startswith("bucket="):
+                fsio.rmtree(fsio.join(idx_dir, name, f"tpart={tp}"))
+        fsio.rmtree(fsio.join(lex_dir, f"tpart={tp}"))
 
     def _one_tpart(tp: int) -> list[tuple]:
         import pyarrow.dataset as pads
 
-        src = os.path.join(tf_dir, f"tpart={tp}")
-        if not os.path.isdir(src):
+        _clean_own_slices(tp)
+        src = fsio.join(tf_dir, f"tpart={tp}")
+        if not fsio.isdir(src):
             return []
         ds = pads.dataset(src, format="parquet")
         parts = [
@@ -605,9 +614,9 @@ def make_tpart_build_task(
             k = int(k)
             idx = np.flatnonzero(bucket_col == k)
             sub = tbl.take(pa.array(idx)).drop_columns(["bucket"])  # term order kept
-            out_dir = os.path.join(staging_idx, f"bucket={k}", f"tpart={tp}")
-            os.makedirs(out_dir, exist_ok=True)
-            nbytes = _write_atomic(sub, os.path.join(out_dir, "part-0.parquet"))
+            out_dir = fsio.join(idx_dir, f"bucket={k}", f"tpart={tp}")
+            fsio.makedirs(out_dir)
+            nbytes = _write_atomic(sub, fsio.join(out_dir, "part-0.parquet"))
             npost_k = int(df_col[idx].sum())
             share = micros * npost_k // total_post if total_post else 0
             rows.append(
@@ -633,9 +642,9 @@ def make_tpart_build_task(
                 "n_chunks": pa.array(nchunks.astype(np.int64), type=pa.int64()),
             }
         )
-        lex_dir = os.path.join(staging_lex, f"tpart={tp}")
-        os.makedirs(lex_dir, exist_ok=True)
-        lex_bytes = _write_atomic(lex, os.path.join(lex_dir, "part-0.parquet"))
+        lex_slice = fsio.join(lex_dir, f"tpart={tp}")
+        fsio.makedirs(lex_slice)
+        lex_bytes = _write_atomic(lex, fsio.join(lex_slice, "part-0.parquet"))
         rows.append(
             (tp, -1, int(len(starts)), total_post, lex_bytes, micros,
              str(terms_col[0]), str(terms_col[-1]))

@@ -60,12 +60,13 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import time
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pyfusedb_spark import fsio
 
 from pyfusedb_spark.functions.udfs import (
     CHUNK_SCHEMA_BUCKETED,
@@ -128,6 +129,8 @@ def _local_agg(sql: str) -> dict:
     Spark jobs for manifest stats (each saved job is ~0.5-1.5s of serial
     scheduling latency at toy scale; at cluster scale use the Spark
     path). Falls back to None when duckdb is unavailable."""
+    if "://" in sql:
+        return None  # URI root (object store / file://): take the Spark path
     try:
         import duckdb  # noqa: PLC0415
     except ImportError:
@@ -166,6 +169,8 @@ def _assemble_doc_stats(spark: SparkSession, ds_sha_dir: str, tf_dir: str, ds_di
     Driver-local DuckDB at toy scale (saves two Spark jobs of scheduling
     latency); Spark left-join fallback — the path a real cluster takes."""
     try:
+        if fsio.is_uri(ds_dir):
+            raise OSError("URI root: use the Spark path")
         import duckdb  # noqa: PLC0415
 
         os.makedirs(ds_dir, exist_ok=True)
@@ -205,6 +210,8 @@ def _lexicon_local(idx_dir: str, lex_dir: str, cat) -> bool:
     job of scheduling latency per build. Returns False (caller uses the
     Spark path) for big indexes or when DuckDB is unavailable."""
     try:
+        if fsio.is_uri(idx_dir):
+            return False
         import duckdb  # noqa: PLC0415
 
         meta_cols_bytes = _dir_bytes(idx_dir)
@@ -229,6 +236,8 @@ def _partition_metrics(final_dir: str) -> list | None:
     """Per-shuffle-partition posting metrics (north rule: per-partition
     logging): [pid, n_terms, n_postings, encode_cpu_s, postings_per_cpu_s]."""
     try:
+        if fsio.is_uri(final_dir):
+            return None
         import duckdb  # noqa: PLC0415
 
         rows = duckdb.sql(
@@ -252,7 +261,7 @@ def _tpart_committed(cat: ManifestCatalog, tp: int) -> bool:
     m = cat.read_manifest(f"tpart={tp}")
     if m is None:
         return False
-    return all(os.path.isdir(d) for d in m.get("data_dirs", []))
+    return all(fsio.isdir(d) for d in m.get("data_dirs", []))
 
 
 def _lexicon_vocab_exact(spark: SparkSession, lex_dir: str) -> int:
@@ -260,6 +269,11 @@ def _lexicon_vocab_exact(spark: SparkSession, lex_dir: str) -> int:
     routing (tpart_spread > 1) a term's lexicon rows span up to `spread`
     slices, so per-slice row counts over-count; one narrow distinct over
     the (small) lexicon fixes it. DuckDB locally, Spark fallback."""
+    if fsio.is_uri(lex_dir):
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(lex_dir).select("term").distinct().count()
+        )
     import glob as _g
 
     files = sorted(
@@ -304,16 +318,19 @@ def _file_shuffle_postings(
     secs = 0.0
     if missing:
         t0 = time.perf_counter()
-        staging_idx = cat.staging_dir(idx_dir)
-        staging_lex = cat.staging_dir(lex_dir)
-        os.makedirs(staging_idx, exist_ok=True)
-        os.makedirs(staging_lex, exist_ok=True)
+        fsio.makedirs(idx_dir)
+        fsio.makedirs(lex_dir)
         task = make_tpart_build_task(
-            tf_dir, staging_idx, staging_lex,
+            tf_dir, idx_dir, lex_dir,
             avgdl, config.k1, config.b, config.block_size,
         )
         # one row per partition -> one task per missing tpart, no
-        # exchange anywhere in this job
+        # exchange anywhere in this job. Tasks finalize their own
+        # bucket=K/tpart=P + lexicon/tpart=P dirs (clean + direct atomic
+        # writes) — the old driver-serial staging→live promote loop
+        # (O(n_buckets x n_tparts) renames of driver metadata work on
+        # the critical path, ~10^4+ dirs at cluster scale) is gone;
+        # visibility is the per-tpart manifest commit below.
         if len(missing) < n_tparts:
             ids = spark.createDataFrame(
                 [(tp,) for tp in missing], "id long"
@@ -321,23 +338,6 @@ def _file_shuffle_postings(
         else:
             ids = spark.range(0, n_tparts, 1, n_tparts)
         stats_rows = ids.mapInArrow(task, TPART_STATS_SCHEMA).collect()
-        # merge each produced slice dir into the live index/lexicon
-        for name in sorted(os.listdir(staging_idx)):  # bucket=K dirs
-            src_b = os.path.join(staging_idx, name)
-            for tname in sorted(os.listdir(src_b)):  # tpart=P dirs
-                dst = os.path.join(idx_dir, name, tname)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                os.replace(os.path.join(src_b, tname), dst)
-        for tname in sorted(os.listdir(staging_lex)):
-            dst = os.path.join(lex_dir, tname)
-            os.makedirs(lex_dir, exist_ok=True)
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.replace(os.path.join(staging_lex, tname), dst)
-        shutil.rmtree(staging_idx, ignore_errors=True)
-        shutil.rmtree(staging_lex, ignore_errors=True)
         secs = time.perf_counter() - t0
         # per-tpart manifests (north rule: per-partition segment lineage
         # + metrics; a killed build resumes from the last committed one)
@@ -361,11 +361,11 @@ def _file_shuffle_postings(
         for tp in missing:
             ent = by_tp[tp]
             dirs = [
-                os.path.join(idx_dir, f"bucket={row[0]}", f"tpart={tp}")
+                fsio.join(idx_dir, f"bucket={row[0]}", f"tpart={tp}")
                 for row in ent["rows"]
             ]
             if ent["lex"] is not None:
-                dirs.append(os.path.join(lex_dir, f"tpart={tp}"))
+                dirs.append(fsio.join(lex_dir, f"tpart={tp}"))
             cat.commit(
                 f"tpart={tp}",
                 {
@@ -408,7 +408,10 @@ def _file_shuffle_postings(
                     [tp, int(n_terms), int(n_post), round(es, 3),
                      round(int(n_post) / es, 1) if es > 0 else None]
                 )
-        if not by_bucket and not os.path.isdir(lex_dir):
+        if not by_bucket and not any(
+            n.endswith(".parquet") or n.startswith("tpart=")
+            for n in fsio.listdir(lex_dir)
+        ):
             _write_empty_lexicon(lex_dir)
         if tpart_spread > 1 and lex_terms:
             lex_terms = _lexicon_vocab_exact(spark, lex_dir)
@@ -417,7 +420,7 @@ def _file_shuffle_postings(
             cat.commit(
                 f"bucket={k}",
                 {
-                    "data_dir": os.path.join(idx_dir, f"bucket={k}"),
+                    "data_dir": fsio.join(idx_dir, f"bucket={k}"),
                     "bucket": k,
                     "doc_id_range": [k * bucket_span, (k + 1) * bucket_span - 1],
                     "term_range": [agg["term_lo"], agg["term_hi"]],
@@ -451,9 +454,8 @@ def _write_empty_lexicon(lex_dir: str) -> None:
     """Empty-corpus edge: downstream readers need at least one parquet
     file with the lexicon schema."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    os.makedirs(lex_dir, exist_ok=True)
+    fsio.makedirs(lex_dir)
     empty = pa.table(
         {
             "term": pa.array([], pa.string()),
@@ -463,18 +465,11 @@ def _write_empty_lexicon(lex_dir: str) -> None:
             "n_chunks": pa.array([], pa.int64()),
         }
     )
-    pq.write_table(empty, os.path.join(lex_dir, "part-0.parquet"))
+    fsio.write_parquet_atomic(empty, fsio.join(lex_dir, "part-0.parquet"))
 
 
 def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+    return fsio.dir_bytes(path)
 
 
 def build_index(
@@ -499,11 +494,11 @@ def build_index(
         for key in list(cat.snapshot().get("manifests", {})):
             cat.uncommit(key)
 
-    tf_dir = os.path.join(out_dir, "tf")
-    ds_dir = os.path.join(out_dir, "doc_stats")
-    idx_dir = os.path.join(out_dir, "index")
-    lex_dir = os.path.join(out_dir, "lexicon")
-    stats_path = os.path.join(out_dir, "stats.json")
+    tf_dir = fsio.join(out_dir, "tf")
+    ds_dir = fsio.join(out_dir, "doc_stats")
+    idx_dir = fsio.join(out_dir, "index")
+    lex_dir = fsio.join(out_dir, "lexicon")
+    stats_path = fsio.join(out_dir, "stats.json")
 
     # ---------------- stage tf ----------------
     # Three narrow jobs, zero shuffles, no caching of wide intermediates
@@ -517,7 +512,7 @@ def build_index(
     #      agg over the two parquet dirs (Spark fallback for real
     #      clusters / non-local filesystems).
     m_tf = cat.read_manifest("stage_tf") if resume else None
-    ds_sha_dir = os.path.join(out_dir, "doc_sha")
+    ds_sha_dir = fsio.join(out_dir, "doc_sha")
     # resolved inside the file-shuffle branch once n_docs is known —
     # the default is corpus-derived (see _default_n_tparts), and tf
     # file fan-out is scan_tasks x n_tparts so oversizing it at toy
@@ -567,8 +562,8 @@ def build_index(
             )
             staging_tf = cat.staging_dir(tf_dir)
             staging_sha = cat.staging_dir(ds_sha_dir)
-            os.makedirs(staging_tf, exist_ok=True)
-            os.makedirs(staging_sha, exist_ok=True)
+            fsio.makedirs(staging_tf)
+            fsio.makedirs(staging_sha)
             docs.select(
                 F.col("doc_id").cast("long").alias("doc_id"), content_col
             ).mapInArrow(
@@ -697,7 +692,7 @@ def build_index(
     def _build_bucket(k: int) -> None:
         key = f"bucket={k}"
         t0 = time.perf_counter()
-        final_dir = os.path.join(idx_dir, f"bucket={k}")
+        final_dir = fsio.join(idx_dir, f"bucket={k}")
         tf_k = spark.read.parquet(tf_dir).where(F.col("bucket") == k)
         # repartitionByRange on term: each output file covers a narrow
         # term range, so query fetches prune to ~1-2 FILES via file-level
@@ -781,8 +776,8 @@ def build_index(
             cat.promote_dir(staging, idx_dir)
             secs = time.perf_counter() - t0
             for k in range(config.n_buckets):
-                final_dir = os.path.join(idx_dir, f"bucket={k}")
-                if os.path.exists(final_dir):
+                final_dir = fsio.join(idx_dir, f"bucket={k}")
+                if fsio.exists(final_dir):
                     cat.commit(f"bucket={k}", _bucket_manifest_stats(final_dir, k, secs))
             cat.commit("stage_postings", {"data_dir": idx_dir, "seconds": round(secs, 3),
                                           "mode": "single-pass"})
@@ -857,7 +852,7 @@ def build_index(
         norms = joined.groupBy("doc_id").agg(F.sqrt(F.sum(w * w)).alias("norm"))
         ds = spark.read.parquet(ds_dir)
         ds_full = ds.join(norms, "doc_id", "left").na.fill({"norm": 0.0})
-        final_dir = os.path.join(out_dir, "doc_stats_full")
+        final_dir = fsio.join(out_dir, "doc_stats_full")
         staging = cat.staging_dir(final_dir)
         ds_full.write.mode("overwrite").parquet(staging)
         cat.promote_dir(staging, final_dir)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyfusedb_spark import fsio
 from pyfusedb_spark.analysis import Analyzer
 from pyfusedb_spark.functions import codec
 from pyfusedb_spark.layout import (
@@ -67,11 +68,9 @@ class FuseIndex:
         self._load_stats()
 
     def _load_stats(self) -> None:
-        path = os.path.join(self.out_dir, "stats.json")
-        st = os.stat(path)
-        self._stats_sig = (st.st_mtime_ns, st.st_size)
-        with open(path) as f:
-            self.stats = json.load(f)
+        path = fsio.join(self.out_dir, "stats.json")
+        self._stats_sig = fsio.stat_sig(path)
+        self.stats = fsio.read_json(path)
         cfg = self.stats["config"]
         self.analyzer = Analyzer(cfg["preset"])
         self.k1 = cfg["k1"]
@@ -104,12 +103,12 @@ class FuseIndex:
         would otherwise keep serving the pyarrow dataset's frozen file
         listing and the stale lexicon/norms — silently missing every
         appended posting. One os.stat per search."""
-        path = os.path.join(self.out_dir, "stats.json")
+        path = fsio.join(self.out_dir, "stats.json")
         try:
-            st = os.stat(path)
+            sig = fsio.stat_sig(path)
         except OSError:
             return
-        if (st.st_mtime_ns, st.st_size) != self._stats_sig:
+        if sig != self._stats_sig:
             try:
                 self._load_stats()  # also resets _pa_index/_lexicon_pd/_norms caches
             except (json.JSONDecodeError, OSError):
@@ -122,7 +121,7 @@ class FuseIndex:
     # -- lazy DataFrames ----------------------------------------------------
     @property
     def index_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "index"))
+        return self.spark.read.parquet(fsio.join(self.out_dir, "index"))
 
     def _lexicon_seg_files(self) -> list[str] | None:
         """Parquet file list for an LSM-layout lexicon (delta `seg=B`
@@ -132,19 +131,23 @@ class FuseIndex:
         file list instead. None = uniform layout, use plain dir reads.
         A term may then appear once per segment; every consumer SUMS
         df/total_tf across its rows."""
-        import glob as _g
-
-        lex = os.path.join(self.out_dir, "lexicon")
-        if not os.path.isdir(lex) or not any(
-            n.startswith("seg=") for n in os.listdir(lex)
-        ):
+        lex = fsio.join(self.out_dir, "lexicon")
+        names = fsio.listdir(lex)
+        if not any(n.startswith("seg=") for n in names):
             return None
         # any one-level subdir: seg=B deltas AND a base build's tpart=P
         # slices (both can coexist until the first compaction)
-        return sorted(
-            _g.glob(os.path.join(lex, "*.parquet"))
-            + _g.glob(os.path.join(lex, "*", "*.parquet"))
-        )
+        out = []
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(fsio.join(lex, n))
+            elif "=" in n and ".tmp-" not in n:
+                sub = fsio.join(lex, n)
+                out.extend(
+                    fsio.join(sub, m) for m in fsio.listdir(sub)
+                    if m.endswith(".parquet")
+                )
+        return sorted(out)
 
     @property
     def lexicon_df(self) -> DataFrame:
@@ -156,7 +159,7 @@ class FuseIndex:
         if files is not None:
             raw = self.spark.read.parquet(*files)
         else:
-            raw = self.spark.read.parquet(os.path.join(self.out_dir, "lexicon"))
+            raw = self.spark.read.parquet(fsio.join(self.out_dir, "lexicon"))
         return raw.groupBy("term").agg(
             F.sum("df").alias("df"),
             F.sum("total_tf").alias("total_tf"),
@@ -166,10 +169,10 @@ class FuseIndex:
 
     @property
     def doc_stats_df(self) -> DataFrame:
-        full = os.path.join(self.out_dir, "doc_stats_full")
-        if os.path.exists(full):
+        full = fsio.join(self.out_dir, "doc_stats_full")
+        if fsio.exists(full):
             return self.spark.read.parquet(full)
-        return self.spark.read.parquet(os.path.join(self.out_dir, "doc_stats"))
+        return self.spark.read.parquet(fsio.join(self.out_dir, "doc_stats"))
 
     # -- fetch --------------------------------------------------------------
     def _query_terms(self, query: str) -> dict[str, int]:
@@ -191,7 +194,7 @@ class FuseIndex:
                 try:
                     import pyarrow.dataset as pads
 
-                    src = seg_files if seg_files is not None else os.path.join(
+                    src = seg_files if seg_files is not None else fsio.join(
                         self.out_dir, "lexicon"
                     )
                     tbl = pads.dataset(src, format="parquet").to_table(
@@ -219,7 +222,7 @@ class FuseIndex:
                 ds = pads.dataset(seg_files, format="parquet")
             else:
                 ds = pads.dataset(
-                    os.path.join(self.out_dir, "lexicon"), format="parquet",
+                    fsio.join(self.out_dir, "lexicon"), format="parquet",
                     partitioning="hive",
                 )
             flt = pc.field("term").isin(terms)
@@ -343,7 +346,7 @@ class FuseIndex:
 
             if self._pa_index is None:
                 self._pa_index = pads.dataset(
-                    os.path.join(self.out_dir, "index"),
+                    fsio.join(self.out_dir, "index"),
                     format="parquet",
                     partitioning="hive",
                 )
