@@ -486,6 +486,91 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
     return mapper
 
 
+TF_COMBINE_SCHEMA = T.StructType(
+    [
+        T.StructField("tpart", T.IntegerType(), False),
+        T.StructField("n_files_in", T.LongType(), False),
+        T.StructField("n_files_out", T.LongType(), False),
+    ]
+)
+
+
+def make_tf_combine_task(src_tf_dir: str, dst_tf_dir: str,
+                         target_bytes: int = 512 << 20):
+    """Wave-level tf-file combine (fan-out bound, build.py scale note).
+
+    tf fan-out is n_scan_tasks x n_tparts files; at the promised 10^5
+    map tasks that is ~10^8 tiny files. When the scan-task count exceeds
+    ``IndexConfig.max_tf_files_per_tpart`` the build inserts this extra
+    pass: ``spark.range(n_tparts)`` -> task P streams ITS tpart's small
+    files through pyarrow (batch at a time — memory is one record batch,
+    not one tpart) and rewrites them as a handful of large files, rolling
+    a new file every ``target_bytes`` of in-memory batch size. Output
+    file count per tpart = max(1, ceil(tpart_bytes / target_bytes)) —
+    independent of the scan-task count. One extra sequential read+write
+    of the packed runs, paid ONLY at extreme fan-out; the posting stage
+    then opens O(bytes/512MB) files per tpart instead of O(scan_tasks).
+    Same per-tpart task decomposition as the posting stage, so it scales
+    with the same N -> 4N behavior (pure per-tpart, zero exchange)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("tpart", pa.int32()),
+            ("n_files_in", pa.int64()),
+            ("n_files_out", pa.int64()),
+        ]
+    )
+
+    def _one(tp: int) -> tuple | None:
+        import pyarrow.dataset as pads
+
+        src = fsio.join(src_tf_dir, f"tpart={tp}")
+        if not fsio.isdir(src):
+            return None
+        ds = pads.dataset(src, format="parquet")
+        n_in = len(ds.files)
+        d = fsio.join(dst_tf_dir, f"tpart={tp}")
+        fsio.makedirs(d)
+        writer = None
+        n_out = 0
+        acc = 0
+        for batch in ds.to_batches():
+            if not batch.num_rows:
+                continue
+            if writer is None:
+                writer = fsio.AtomicParquetWriter(
+                    fsio.join(d, f"combined-{n_out:05d}.parquet"),
+                    batch.schema, compression="snappy",
+                )
+                n_out += 1
+                acc = 0
+            writer.write_table(pa.Table.from_batches([batch]))
+            acc += batch.nbytes
+            if acc >= target_bytes:
+                writer.close()
+                writer = None
+        if writer is not None:
+            writer.close()
+        return (tp, n_in, n_out)
+
+    def task(batches):
+        for batch in batches:
+            rows = []
+            for tp in batch.column("id").to_pylist():
+                r = _one(int(tp))
+                if r is not None:
+                    rows.append(r)
+            if rows:
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=f.type) for c, f in zip(cols, out_schema)],
+                    schema=out_schema,
+                )
+
+    return task
+
+
 TPART_STATS_SCHEMA = T.StructType(
     [
         T.StructField("tpart", T.IntegerType(), False),

