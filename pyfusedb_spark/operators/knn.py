@@ -606,10 +606,16 @@ class PersistedGraphANN:
 
     Layout (under the IVF's ``out_dir``):
 
-    - ``graph/`` parquet partitioned by ``cell``: one row per vector with
-      its embedding, its adjacency (GLOBAL vec_ids, stable across file
-      order), its segment id, and an ``is_entry`` flag (the segment's
-      medoid = max cell_cos — the natural greedy start).
+    - ``graph/`` parquet partitioned by ``cell``: ADJACENCY ONLY — one
+      row per vector with its neighbor list (GLOBAL vec_ids, stable
+      across file order), its segment id, and an ``is_entry`` flag (the
+      segment's medoid = max cell_cos — the natural greedy start).
+      Embeddings are NOT duplicated here: search joins them back from
+      the IVF's ``cells/`` tree on (id, cell) — both sides prune to the
+      probed cells first, so the join touches nprobe directories, and
+      the index costs one copy of the vectors on disk instead of the
+      round-3 two (graphs persisted by older builds still carry the
+      embedded copy and are read without the join).
     - ``graph.json`` sidecar: {m, seg_fanout, n_rows}.
 
     Scale shape: cells are hive directories (probe = PartitionFilters,
@@ -667,7 +673,6 @@ class PersistedGraphANN:
             return pd.DataFrame(
                 {
                     id_col: ids,
-                    vec_col: pdf[vec_col],
                     "neighbors": [ids[a] for a in adj],
                     "is_entry": np.arange(len(ids)) == entry,
                     "seg": pdf["seg"],
@@ -676,7 +681,7 @@ class PersistedGraphANN:
             )
 
         out_schema = (
-            f"{id_col} long, {vec_col} array<double>, neighbors array<long>, "
+            f"{id_col} long, neighbors array<long>, "
             "is_entry boolean, seg int, cell int"
         )
         (
@@ -746,6 +751,14 @@ class PersistedGraphANN:
             )
 
         g = self.graph_df.where(F.col("cell").isin(all_cells))
+        if vec_col not in g.columns:
+            # adjacency-only layout: rehydrate vectors from the IVF cell
+            # tree — both sides PartitionFilter to the probed cells, and
+            # (id, cell) is unique, so this is an nprobe-dirs-sized join
+            vecs = self.ivf.cells_df.where(F.col("cell").isin(all_cells)).select(
+                id_col, vec_col, "cell"
+            )
+            g = g.join(vecs, [id_col, "cell"])
         res = g.groupBy("cell", "seg").applyInPandas(
             search_group, f"q_id long, {id_col} long, cosine double"
         )

@@ -133,7 +133,10 @@ def test_graph_reopen_and_layout(spark, ivf, graph):
     reopened = knn.PersistedGraphANN(ivf)
     assert reopened.meta == graph.meta
     g = graph.graph_df
-    assert {"vec_id", "embedding", "neighbors", "is_entry", "seg", "cell"} <= set(g.columns)
+    assert {"vec_id", "neighbors", "is_entry", "seg", "cell"} <= set(g.columns)
+    # adjacency-only layout: embeddings live ONCE, in the IVF cells/
+    # tree; graph/ must not duplicate them (round-3 verdict task #8)
+    assert "embedding" not in g.columns
     # exactly one entry point per (cell, seg) graph
     per_seg = g.groupBy("cell", "seg").agg(
         F.sum(F.col("is_entry").cast("int")).alias("n_entry")
@@ -207,7 +210,13 @@ def test_beam_budget_and_recall_floor(emb, graph):
         emb.where(F.col("vec_id") == 4).first()["embedding"], dtype=np.float64
     )
     qn = qv / np.linalg.norm(qv)
-    g = graph.graph_df.where(F.col("cell").isin(graph.ivf._probe_cells(list(qv), 8)))
+    probed = graph.ivf._probe_cells(list(qv), 8)
+    g = graph.graph_df.where(F.col("cell").isin(probed)).join(
+        graph.ivf.cells_df.where(F.col("cell").isin(probed)).select(
+            "vec_id", "embedding", "cell"
+        ),
+        ["vec_id", "cell"],
+    )  # adjacency-only layout: rehydrate vectors exactly as topk_batch does
     pdfs = g.toPandas()
     visited_total, n_total, found = 0, 0, []
     for (_, _), pdf in pdfs.groupby(["cell", "seg"]):
