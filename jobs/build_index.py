@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                          "~15625 docs per tpart capped at 4x parallelism); "
                          "keep constant across cluster sizes when measuring "
                          "scaling")
+    ap.add_argument("--max-tf-files-per-tpart", type=int, default=64,
+                    help="insert a per-tpart combine pass when the corpus "
+                         "scan ran on more tasks than this (bounds tf fan-"
+                         "out at 10^5 map tasks); 0 disables")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--fresh", action="store_true", help="ignore committed manifests")
     args = ap.parse_args(argv)
@@ -79,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             shuffle_partitions=args.shuffle_partitions,
             posting_mode=args.posting_mode,
             n_tparts=args.n_tparts,
+            max_tf_files_per_tpart=args.max_tf_files_per_tpart or None,
         ),
         resume=not args.fresh,
     )

@@ -65,11 +65,48 @@ def _code_version() -> str:
         return "unknown"
 
 
-def _record_run(r: dict, cpus: int, rows: int, version: str) -> None:
+def _record_run(r: dict, cpus: int, rows: int, version: str,
+                pair_id: str | None = None) -> None:
     os.makedirs(os.path.dirname(RUNS_LOG), exist_ok=True)
     entry = dict(r, cpus=cpus, rows=rows, ts=round(time.time(), 1), code=version)
+    if pair_id:
+        entry["pair_id"] = pair_id
     with open(RUNS_LOG, "a") as f:
         f.write(json.dumps(entry) + "\n")
+
+
+def _iter_runs():
+    try:
+        with open(RUNS_LOG) as f:
+            for ln in f:
+                try:
+                    yield json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+    except FileNotFoundError:
+        return
+
+
+def _same_window_pairs(rows: int, versions: set[str]) -> list[dict]:
+    """Back-to-back (N, 4N) runs sharing a pair_id — the un-merged
+    evidence rows SCALING_MODE=pair produces. Sorted best-first."""
+    by_pair: dict[str, dict[int, dict]] = {}
+    for e in _iter_runs():
+        if e.get("rows") == rows and e.get("code") in versions and e.get("pair_id"):
+            by_pair.setdefault(e["pair_id"], {})[int(e["cpus"])] = e
+    out = []
+    for pid, d in by_pair.items():
+        lv = sorted(d)
+        if len(lv) == 2 and lv[1] == 4 * lv[0]:
+            lo, hi = d[lv[0]], d[lv[1]]
+            out.append({
+                "pair": f"{lv[0]}->{lv[1]}",
+                "thr_lo": lo["synth_docs_per_sec"],
+                "thr_hi": hi["synth_docs_per_sec"],
+                "eff": round(hi["synth_docs_per_sec"] / (4 * lo["synth_docs_per_sec"]), 3),
+                "pair_id": pid,
+            })
+    return sorted(out, key=lambda r: -r["eff"])
 
 
 def _best_recorded(cpus: int, rows: int, versions: set[str]) -> dict | None:
@@ -202,7 +239,14 @@ def main() -> None:
     level_filter = {
         int(x) for x in os.environ.get("SCALING_LEVELS", "").split(",") if x.strip()
     }
+    # SCALING_MODE=pair: run N then 4N BACK-TO-BACK inside one window and
+    # tag both records with a shared pair_id — the resulting efficiency
+    # is reported UN-MERGED (no best-of-window pairing across runs), the
+    # protocol-robust evidence the best-window headline is checked
+    # against (round-3 verdict task #5).
+    pair_mode = os.environ.get("SCALING_MODE", "") == "pair"
     for rep in range(reps):
+        pair_id = f"{version}-{int(time.time())}" if pair_mode else None
         for cpus in (n_low, n_hi):
             if level_filter and cpus not in level_filter:
                 continue
@@ -211,7 +255,7 @@ def main() -> None:
             print(f"[rep {rep}] local[{cpus}]: {r['synth_docs_per_sec']} docs/s "
                   f"({time.time()-t0:.0f}s wall)", file=sys.stderr)
             r["stages"] = _read_stages(cpus)
-            _record_run(r, cpus, rows, version)
+            _record_run(r, cpus, rows, version, pair_id=pair_id)
             if cpus not in results or r["synth_docs_per_sec"] > results[cpus]["synth_docs_per_sec"]:
                 results[cpus] = r
     # merge with prior recorded windows of the SAME code version (co-
@@ -286,6 +330,51 @@ def main() -> None:
         f" (target >= 0.8: {'MET' if eff >= 0.8 else 'NOT MET'})",
         "",
     ]
+    # ---- both pairs, ceiling-adjusted (round-3 verdict task #5) ----
+    lines += [
+        "### Both N->4N pairs, ceiling-adjusted (best recorded windows)",
+        "",
+        "| pair | thr N | thr 4N | raw eff | machine ceiling | eff / ceiling |",
+        "|---|---|---|---|---|---|",
+    ]
+    for lo_c in (4, 8):
+        hi_c = lo_c * 4
+        b_lo = _best_recorded(lo_c, rows, accept)
+        b_hi = _best_recorded(hi_c, rows, accept)
+        ceil_p = hw.get(hi_c, 0) / (4 * hw.get(lo_c, 1))
+        if b_lo and b_hi:
+            e_p = b_hi["synth_docs_per_sec"] / (4 * b_lo["synth_docs_per_sec"])
+            lines.append(
+                f"| {lo_c}->{hi_c} | {b_lo['synth_docs_per_sec']} "
+                f"| {b_hi['synth_docs_per_sec']} | {e_p:.3f} | {ceil_p:.2f} "
+                f"| {e_p / ceil_p if ceil_p else 0:.2f} |"
+            )
+        else:
+            lines.append(
+                f"| {lo_c}->{hi_c} | (no same-tag window) | — | — | {ceil_p:.2f} | — |"
+            )
+    sw = _same_window_pairs(rows, accept)
+    lines += [
+        "",
+        "### Same-window pairs (N and 4N back-to-back, un-merged)",
+        "",
+        "Each row is ONE `SCALING_MODE=pair` invocation: the two levels ran",
+        "back-to-back inside a single measurement window and the efficiency",
+        "is computed from exactly that pair — no best-of-window merging, so",
+        "the number cannot be protocol-inflated (it CAN be deflated by a",
+        "co-tenant wave hitting the window's 4N half; read alongside the",
+        "best-window headline above).",
+        "",
+        "| pair | thr N | thr 4N | efficiency | window id |",
+        "|---|---|---|---|---|",
+    ] + (
+        [
+            f"| {r['pair']} | {r['thr_lo']} | {r['thr_hi']} | {r['eff']} | {r['pair_id']} |"
+            for r in sw[:8]
+        ]
+        if sw
+        else ["| (none recorded yet — run with SCALING_MODE=pair) | — | — | — | — |"]
+    ) + [""]
     used_tags = {results[c].get("code") for c in (n_low, n_hi)}
     if equiv and used_tags - {version}:
         lines += [
