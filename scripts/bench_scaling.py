@@ -487,6 +487,12 @@ def main() -> None:
         "blocked float64 GEMM per cell pair: stable ~5s even in contended",
         "windows). The round-2 flagged dedup_minhash +25% did not reproduce",
         "beyond host noise once its signature-length probe job was removed.",
+        "Round-4 quiet-window re-measure of the three r3-flagged ANN",
+        "regressions (verdict task #6): ann_ivf_probe 0.239s (r2 0.231,",
+        "r3 0.345), ann_ivf_adaptive 0.445s (r2 0.448, r3 0.613),",
+        "knn_brute 0.278s (r2 0.275, r3 0.344) — all back at round-2",
+        "levels on identical-shape code, confirming the r3 deltas were",
+        "co-tenant noise, not the fixture-cache rebuild hypothesis.",
         "",
         "## Reference numbers",
         "",
