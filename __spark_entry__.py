@@ -592,10 +592,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = dedup.embedding_near_duplicates_bucketed(_emb(spark, sf), threshold=0.35)
         return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
+    def decontam_ngram(spark, sf):
+        # eval-set decontamination: flag corpus docs sharing any word
+        # n-gram with a held-out slice (doc_id % 97 == 0 plays the
+        # benchmark suite). Pure JVM expressions + broadcast hash join
+        # (operators/dedup.ngram_decontaminate); oracle = the same
+        # n-gram algebra in DuckDB list functions. n=4 on this fixture
+        # (its synthetic docs share no longer templates; production
+        # decontam runs n=8-13 — same plan, one constant).
+        docs = _docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        corpus = docs.where(F.col("doc_id") % 97 != 0)
+        return dedup.ngram_decontaminate(corpus, bench, text_col="text",
+                                         id_col="doc_id", n=4)
+
     q.update(dedup_exact=dedup_exact, dedup_ngram_jaccard=dedup_ngram_jaccard,
              dedup_minhash=dedup_minhash, dedup_simhash=dedup_simhash,
              dedup_simhash_pairs=dedup_simhash_pairs, dedup_embedding=dedup_embedding,
-             dedup_embedding_bucketed=dedup_embedding_bucketed)
+             dedup_embedding_bucketed=dedup_embedding_bucketed,
+             decontam_ngram=decontam_ngram)
 
     # ---- similarity search ----
     def knn_brute(spark, sf):
@@ -837,6 +852,26 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE doc_id != keeper_id
         """,
         "dedup_ngram_jaccard": _NGRAM_SQL,
+        "decontam_ngram": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 2),
+                                             i -> array_to_string(t[i:i+3], ' '))) AS ng
+                FROM toks WHERE len(t) >= 4
+            ),
+            bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT g.doc_id, g.ng FROM grams g JOIN bench USING (ng)
+                WHERE g.doc_id % 97 <> 0
+            )
+            SELECT doc_id, count(DISTINCT ng)::BIGINT AS n_hits,
+                   min(ng) AS first_hit
+            FROM hits GROUP BY doc_id ORDER BY doc_id
+        """,
         "dedup_minhash": _jaccard_sql(0.8),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(8),

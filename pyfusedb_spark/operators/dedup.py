@@ -524,3 +524,71 @@ def embedding_near_duplicates_bucketed(
     out.count()
     n.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# benchmark n-gram decontamination (round 4)
+# --------------------------------------------------------------------------
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents that share any word n-gram with a held-out
+    benchmark/eval set (the standard eval-decontamination pass a training
+    corpus needs; no reference analog — pipeline extension).
+
+    Returns (id_col, n_hits, first_hit): one row per CONTAMINATED doc,
+    n_hits = number of distinct leaked n-grams, first_hit = the
+    lexicographically first one (for auditing).
+
+    Spark-first shape — zero Python UDFs:
+      tokenize   lower + regexp_extract_all('[a-z0-9_]+')   (JVM codegen)
+      n-grams    transform(sequence(...), i -> concat_ws(' ',
+                 slice(toks, i, n)))                        (JVM codegen)
+      match      explode doc n-grams -> hash semi-join against the
+                 DISTINCT benchmark n-grams
+
+    Scale notes (100 TB corpus, small benchmark suite): the benchmark
+    side is tiny after distinct -> Catalyst broadcasts it, so the doc
+    side is a scan + filter with NO shuffle of corpus data; the only
+    shuffle is the per-doc groupBy of matched rows (candidates only —
+    rare by construction). Doc n-gram explosion is |tokens| rows per doc
+    but exists only inside the join stage (never materialized). If the
+    benchmark set ever outgrows broadcast, put a bloom_filter_agg of the
+    bench hashes in front (might_contain prefilter) and let the exact
+    join run shuffle-side — same plan shape, two stages.
+    """
+    bt = bench_text_col or text_col
+
+    def grams(col: str):
+        toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit("[a-z0-9_]+"), 0)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array())
+
+    bench_grams = (
+        bench.select(F.explode(grams(bt)).alias("ng")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(grams(text_col)).alias("ng")
+    )
+    # bench side is the small one: hint it broadcast explicitly (the
+    # 100 TB-side contract; AQE would usually pick it anyway)
+    hits = doc_grams.join(F.broadcast(bench_grams), "ng")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count_distinct("ng").alias("n_hits"),
+            F.min("ng").alias("first_hit"),
+        )
+        .orderBy(id_col)
+    )

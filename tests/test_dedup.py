@@ -115,3 +115,46 @@ def test_embedding_bucketed_group_bound_subsplit(spark):
         ).collect()
     )
     assert base == split and len(base) > 0
+
+
+def test_ngram_decontaminate_known_answer(spark):
+    """Constructed contamination: doc 10 embeds a full benchmark
+    sentence (two distinct leaked 5-grams... actually all 5-grams of an
+    8-token span = 4 n-grams), doc 11 shares a 4-token overlap only
+    (below n=5), doc 12 is clean. Case/punctuation must not matter
+    (lower + [a-z0-9_]+ tokenizer)."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "intro words; THE QUICK, brown Fox jumps over... then more"),
+            (11, "quick brown fox jumps elsewhere entirely different tail"),
+            (12, "completely unrelated content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_decontaminate(docs, bench, text_col="text",
+                                    id_col="doc_id", n=5).collect()
+    assert [r["doc_id"] for r in out] == [10]
+    # doc 10's leaked 5-grams: "the quick brown fox jumps" and
+    # "quick brown fox jumps over" (the "...over then" tail breaks the
+    # third) -> n_hits == 2, first_hit is the lexicographically first
+    assert out[0]["n_hits"] == 2
+    assert out[0]["first_hit"] == "quick brown fox jumps over"
+
+
+def test_ngram_decontaminate_short_docs_and_empty(spark):
+    """Docs/benchmarks shorter than n produce no n-grams (no crash, no
+    false hits); an empty benchmark flags nothing."""
+    bench = spark.createDataFrame([(0, "a b c")], "bench_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    assert dedup.ngram_decontaminate(docs, bench, n=5).count() == 0
+    empty_bench = bench.where(F.lit(False))
+    docs2 = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    assert dedup.ngram_decontaminate(docs2, empty_bench, n=5).count() == 0
