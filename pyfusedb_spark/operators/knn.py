@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyfusedb_spark import fsio
+
 
 # Above this dimensionality the per-element F.lit literal arrays stop
 # being a good idea: the Catalyst plan grows one expression node per
@@ -399,8 +401,7 @@ class PersistedIVF:
         self.out_dir = out_dir
         self.id_col = id_col
         self.vec_col = vec_col
-        with open(os.path.join(out_dir, "ivf.json")) as f:
-            meta = json.load(f)
+        meta = fsio.read_json(fsio.join(out_dir, "ivf.json"))
         self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
         self.radii = {int(k): float(v) for k, v in meta["radii"].items()}
 
@@ -425,10 +426,10 @@ class PersistedIVF:
             for r in spark.read.parquet(f"{out_dir}/cells")
             .groupBy("cell").agg(F.min("cell_cos").alias("mc")).collect()
         }
-        tmp = os.path.join(out_dir, "ivf.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"centroids": cents.tolist(), "radii": radii, "nlist": len(cents)}, f)
-        os.replace(tmp, os.path.join(out_dir, "ivf.json"))
+        fsio.write_json_atomic(
+            fsio.join(out_dir, "ivf.json"),
+            {"centroids": cents.tolist(), "radii": radii, "nlist": len(cents)},
+        )
         return PersistedIVF(spark, out_dir, id_col, vec_col)
 
     def _cell_bounds(self, query_vec: list[float]) -> dict[int, float]:
@@ -635,8 +636,7 @@ class PersistedGraphANN:
         self.out_dir = ivf.out_dir
         self.id_col = ivf.id_col
         self.vec_col = ivf.vec_col
-        with open(os.path.join(self.out_dir, "graph.json")) as f:
-            self.meta = json.load(f)
+        self.meta = fsio.read_json(fsio.join(self.out_dir, "graph.json"))
 
     @property
     def graph_df(self) -> DataFrame:
@@ -691,10 +691,10 @@ class PersistedGraphANN:
             .partitionBy("cell")
             .parquet(f"{ivf.out_dir}/graph")
         )
-        tmp = os.path.join(ivf.out_dir, "graph.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"m": mm, "seg_fanout": seg_fanout, "n_rows": n_rows}, f)
-        os.replace(tmp, os.path.join(ivf.out_dir, "graph.json"))
+        fsio.write_json_atomic(
+            fsio.join(ivf.out_dir, "graph.json"),
+            {"m": mm, "seg_fanout": seg_fanout, "n_rows": n_rows},
+        )
         return PersistedGraphANN(ivf)
 
     def topk_batch(

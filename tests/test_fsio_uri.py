@@ -188,3 +188,31 @@ def test_tf_fanout_bound_combines_files(spark, tmp_path):
         np.testing.assert_allclose(
             [s for _, s in got], [s for _, s in expect], atol=1e-9
         )
+
+
+def test_ivf_and_graph_via_file_uri(spark, tmp_path):
+    """The persisted ANN tiers work against a scheme-qualified root too:
+    parquet trees go through Spark (URI-native), sidecar JSONs through
+    fsio. Exact-setting search must match brute force."""
+    from pyfusedb_spark.operators import knn
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [((i * 7 + d * 3) % 11) / 11.0 + 0.1 for d in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = f"file://{tmp_path}/ivf_uri"
+    ivf = knn.PersistedIVF.build(emb, out, nlist=4, sample_n=64)
+    g = knn.PersistedGraphANN.build(ivf, m=4)
+    qv = rows[3][1]
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in knn.brute_force_topk(emb, qv, 5).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in g.topk(qv, k=5, nprobe=4, ef=1_000_000).collect()
+    ]
+    assert got == exact
+    # reopen through the URI (sidecars read via fsio)
+    reopened = knn.PersistedGraphANN(knn.PersistedIVF(spark, out))
+    assert reopened.meta == g.meta
