@@ -304,3 +304,14 @@ def find_tmp_dirs(root: str) -> list[str]:
         if not any(d.startswith(k + "/") for k in kept):
             kept.append(d)
     return [scheme + d for d in kept]
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer only (no data read)."""
+    import pyarrow.parquet as pq
+
+    if not is_uri(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    fs, p = get_fs(path)
+    with fs.open_input_file(p) as f:
+        return pq.ParquetFile(f).metadata.num_rows

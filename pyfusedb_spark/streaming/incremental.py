@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyfusedb_spark.functions.udfs import CHUNK_SCHEMA, make_chunk_encoder, sha256_col, term_freqs_udf
+from pyfusedb_spark import fsio
 from pyfusedb_spark.layout import STREAM_BATCH_BUCKET_BASE, STREAM_GEN_BUCKET_BASE
 from pyfusedb_spark.operators.build import IndexConfig
 from pyfusedb_spark.sources.catalog import ManifestCatalog, write_json_atomic
@@ -55,8 +56,8 @@ class IncrementalIndexWriter:
         self.doc_id_col = doc_id_col
         self.config = config
         self.cat = ManifestCatalog(out_dir)
-        os.makedirs(os.path.join(out_dir, "index"), exist_ok=True)
-        os.makedirs(os.path.join(out_dir, "doc_stats"), exist_ok=True)
+        fsio.makedirs(fsio.join(out_dir, "index"))
+        fsio.makedirs(fsio.join(out_dir, "doc_stats"))
         # fold LSM delta segments into the root lexicon every K batches
         # (amortizes the O(vocabulary) rewrite the per-batch refresh no
         # longer pays; raise for higher-rate streams)
@@ -139,7 +140,7 @@ class IncrementalIndexWriter:
             # recovery call the batch's df/total_tf deltas would be lost
             # forever under the delta-merge refresh).
             if batch_id not in self._lexicon_included():
-                final_dir = os.path.join(self.out_dir, "index", f"bucket={STREAM_BATCH_BUCKET_BASE + batch_id}")
+                final_dir = fsio.join(self.out_dir, "index", f"bucket={STREAM_BATCH_BUCKET_BASE + batch_id}")
                 self._refresh_global(batch_id, final_dir)
             return
         t0 = time.perf_counter()
@@ -154,7 +155,7 @@ class IncrementalIndexWriter:
             F.aggregate(F.map_values("tfs"), F.lit(0), lambda a, x: a + x).cast("long"),
         ).persist()
 
-        ds_dir = os.path.join(self.out_dir, "doc_stats", f"batch={batch_id}")
+        ds_dir = fsio.join(self.out_dir, "doc_stats", f"batch={batch_id}")
         tok.select("doc_id", "doc_len", "sha256").write.mode("overwrite").parquet(ds_dir)
         # batch-local counters, carried through the manifest so the
         # global refresh accumulates them instead of re-scanning every
@@ -175,7 +176,7 @@ class IncrementalIndexWriter:
             .sortWithinPartitions("term", "doc_id")
             .mapInPandas(encoder, CHUNK_SCHEMA)
         )
-        final_dir = os.path.join(self.out_dir, "index", f"bucket={STREAM_BATCH_BUCKET_BASE + batch_id}")
+        final_dir = fsio.join(self.out_dir, "index", f"bucket={STREAM_BATCH_BUCKET_BASE + batch_id}")
         staging = self.cat.staging_dir(final_dir)
         writer = chunks.write.mode("overwrite")
         if self.n_tparts:
@@ -215,10 +216,8 @@ class IncrementalIndexWriter:
         stats.json (orphan generations from a crashed compaction, and
         folded batch dirs whose GC was interrupted). Safe at any time:
         readers never look at these dirs (layout.visible_bucket_components)."""
-        import shutil
-
-        idx = os.path.join(self.out_dir, "index")
-        if not os.path.isdir(idx):
+        idx = fsio.join(self.out_dir, "index")
+        if not fsio.isdir(idx):
             return
         folded = set(self.folded_batches)
         cur_gen_bucket = (
@@ -226,7 +225,7 @@ class IncrementalIndexWriter:
             if self.stream_gen is not None
             else None
         )
-        for name in os.listdir(idx):
+        for name in fsio.listdir(idx):
             if not name.startswith("bucket="):
                 continue
             try:
@@ -238,7 +237,7 @@ class IncrementalIndexWriter:
                 and v != cur_gen_bucket
             ) or (v >= STREAM_BATCH_BUCKET_BASE and v - STREAM_BATCH_BUCKET_BASE in folded)
             if stale:
-                shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
+                fsio.rmtree(fsio.join(idx, name))
 
     def _live_batch_ids(self) -> list[int]:
         """Committed streamed batch ids whose posting dirs are still live
@@ -280,16 +279,16 @@ class IncrementalIndexWriter:
 
         t0 = time.perf_counter()
         spark = self.spark
-        idx = os.path.join(self.out_dir, "index")
+        idx = fsio.join(self.out_dir, "index")
         src = []
         if self.stream_gen is not None:
-            d = os.path.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(self.stream_gen)}")
-            if os.path.isdir(d):
+            d = fsio.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(self.stream_gen)}")
+            if fsio.isdir(d):
                 src.append(d)
         live_dirs = []
         for b in live:
-            d = os.path.join(idx, f"bucket={STREAM_BATCH_BUCKET_BASE + b}")
-            if os.path.isdir(d):
+            d = fsio.join(idx, f"bucket={STREAM_BATCH_BUCKET_BASE + b}")
+            if fsio.isdir(d):
                 live_dirs.append(d)
         src += live_dirs
         if not src:
@@ -334,7 +333,7 @@ class IncrementalIndexWriter:
             .groupBy("term")
             .applyInPandas(merge_term, CHUNK_SCHEMA)
         )
-        final_dir = os.path.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + g}")
+        final_dir = fsio.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + g}")
         staging = self.cat.staging_dir(final_dir)
         writer = chunks.write.mode("overwrite")
         if self.n_tparts:
@@ -370,20 +369,18 @@ class IncrementalIndexWriter:
         # GC (invisible now); interrupted GC is finished by the next
         # writer's _gc_stale_posting_dirs
         if old_gen is not None:
-            shutil.rmtree(
-                os.path.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(old_gen)}"),
-                ignore_errors=True,
+            fsio.rmtree(
+                fsio.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(old_gen)}")
             )
         for d in live_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+            fsio.rmtree(d)
 
     # -- global refresh -------------------------------------------------------
     def _current_stats(self) -> dict:
-        path = os.path.join(self.out_dir, "stats.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                return json.load(f)
-        return {"n_docs": 0, "avgdl": 1.0}
+        try:
+            return fsio.read_json(fsio.join(self.out_dir, "stats.json"))
+        except (FileNotFoundError, OSError):
+            return {"n_docs": 0, "avgdl": 1.0}
 
     def _lexicon_included(self) -> list[int]:
         """Batch ids whose chunk lexicons are already folded into the
@@ -395,40 +392,44 @@ class IncrementalIndexWriter:
         set can never disagree; the merge is exactly-once across kill
         points. Underscore prefix keeps Spark and pyarrow dataset
         discovery from reading the markers as data."""
-        lex = os.path.join(self.out_dir, "lexicon")
+        lex = fsio.join(self.out_dir, "lexicon")
         out: set[int] = set()
-        path = os.path.join(lex, "_included.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                out.update(json.load(f))
-        if os.path.isdir(lex):
-            for name in os.listdir(lex):
-                mk = os.path.join(lex, name, "_batches.json")
-                if name.startswith("seg=") and os.path.exists(mk):
-                    with open(mk) as f:
-                        out.update(json.load(f))
+        try:
+            out.update(fsio.read_json(fsio.join(lex, "_included.json")))
+        except (FileNotFoundError, OSError):
+            pass
+        for name in fsio.listdir(lex):
+            if not name.startswith("seg="):
+                continue
+            try:
+                out.update(fsio.read_json(fsio.join(lex, name, "_batches.json")))
+            except (FileNotFoundError, OSError):
+                continue
         return sorted(out)
 
     def _lexicon_files(self) -> list[str]:
-        import glob as _g
-
-        lex = os.path.join(self.out_dir, "lexicon")
-        return sorted(
-            _g.glob(os.path.join(lex, "*.parquet"))
-            + _g.glob(os.path.join(lex, "*", "*.parquet"))
-        )
+        lex = fsio.join(self.out_dir, "lexicon")
+        out = []
+        for name in fsio.listdir(lex):
+            if name.endswith(".parquet"):
+                out.append(fsio.join(lex, name))
+            elif "=" in name and ".tmp-" not in name:
+                sub = fsio.join(lex, name)
+                out.extend(
+                    fsio.join(sub, m) for m in fsio.listdir(sub)
+                    if m.endswith(".parquet")
+                )
+        return sorted(out)
 
     def _lexicon_vocab_ub(self) -> int:
         """Upper bound on distinct terms: Σ row counts over lexicon files
         (parquet footers only — no data read). Exact after a compaction;
         an over-count between compactions only biases the FuseIndex
         small-vocab cache heuristic, never scoring (df sums are exact)."""
-        import pyarrow.parquet as pq
-
         total = 0
         for f in self._lexicon_files():
             try:
-                total += pq.ParquetFile(f).metadata.num_rows
+                total += fsio.parquet_num_rows(f)
             except Exception:
                 pass
         return total
@@ -454,7 +455,7 @@ class IncrementalIndexWriter:
         recorded in ``last_refresh_input_files`` /
         ``last_refresh_written_files`` (both test-asserted)."""
         spark = self.spark
-        lex_dir = os.path.join(self.out_dir, "lexicon")
+        lex_dir = fsio.join(self.out_dir, "lexicon")
         included = self._lexicon_included()
         if batch_id in included:
             # replay of an already-merged batch: stats rewrite only
@@ -470,22 +471,20 @@ class IncrementalIndexWriter:
             ]
             new_lex = spark.read.parquet(batch_index_dir).groupBy("term").agg(*agg_cols)
             self.last_refresh_input_files = list(new_lex.inputFiles())
-            seg_dir = os.path.join(lex_dir, f"seg={batch_id}")
+            seg_dir = fsio.join(lex_dir, f"seg={batch_id}")
             staging = self.cat.staging_dir(seg_dir)
             new_lex.coalesce(1).write.mode("overwrite").parquet(staging)
             # the marker rides INSIDE the staging dir so it becomes
             # visible atomically with the segment's data
-            with open(os.path.join(staging, "_batches.json"), "w") as f:
-                json.dump([batch_id], f)
-            os.makedirs(lex_dir, exist_ok=True)
+            fsio.write_json_atomic(fsio.join(staging, "_batches.json"), [batch_id])
+            fsio.makedirs(lex_dir)
             self.cat.promote_dir(staging, seg_dir)
-            import glob as _g
-
             self.last_refresh_written_files = sorted(
-                _g.glob(os.path.join(seg_dir, "*.parquet"))
+                fsio.join(seg_dir, n) for n in fsio.listdir(seg_dir)
+                if n.endswith(".parquet")
             )
             n_segs = sum(
-                1 for n in os.listdir(lex_dir) if n.startswith("seg=")
+                1 for n in fsio.listdir(lex_dir) if n.startswith("seg=")
             )
             if n_segs >= self.compact_every:
                 self._compact_lexicon()
@@ -500,7 +499,7 @@ class IncrementalIndexWriter:
         replaces the whole lexicon dir via the catalog's staging+promote
         — same crash window as any stage promote."""
         spark = self.spark
-        lex_dir = os.path.join(self.out_dir, "lexicon")
+        lex_dir = fsio.join(self.out_dir, "lexicon")
         included = self._lexicon_included()
         files = self._lexicon_files()
         if not files:
@@ -519,13 +518,11 @@ class IncrementalIndexWriter:
         self.last_refresh_input_files += files
         staging = self.cat.staging_dir(lex_dir)
         merged.write.mode("overwrite").parquet(staging)
-        with open(os.path.join(staging, "_included.json"), "w") as f:
-            json.dump(included, f)
+        fsio.write_json_atomic(fsio.join(staging, "_included.json"), included)
         self.cat.promote_dir(staging, lex_dir)
-        import glob as _g
-
         self.last_refresh_written_files += sorted(
-            _g.glob(os.path.join(lex_dir, "*.parquet"))
+            fsio.join(lex_dir, n) for n in fsio.listdir(lex_dir)
+            if n.endswith(".parquet")
         )
 
     def _finish_refresh(self, batch_id: int, vocab: int) -> None:
@@ -587,7 +584,7 @@ class IncrementalIndexWriter:
         }
         # atomic: a FuseIndex held open across appends re-stats and
         # re-reads this file on every search (query.py _refresh_if_stale)
-        write_json_atomic(os.path.join(self.out_dir, "stats.json"), stats)
+        write_json_atomic(fsio.join(self.out_dir, "stats.json"), stats)
 
 
 def index_stream_availablenow(

@@ -216,3 +216,33 @@ def test_ivf_and_graph_via_file_uri(spark, tmp_path):
     # reopen through the URI (sidecars read via fsio)
     reopened = knn.PersistedGraphANN(knn.PersistedIVF(spark, out))
     assert reopened.meta == g.meta
+
+
+def test_streaming_append_via_file_uri(spark, tmp_path):
+    """Incremental streaming appends work against a scheme-qualified
+    root: segment writes via Spark (URI-native), markers/stats/GC via
+    fsio. Two batches must be searchable and oracle-exact."""
+    from pyfusedb_spark.analysis import Analyzer
+    from pyfusedb_spark.oracle import OracleIndex
+    from pyfusedb_spark.streaming.incremental import IncrementalIndexWriter
+
+    docs = PANGRAMS[:6]
+    out = f"file://{tmp_path}/stream_uri"
+    writer = IncrementalIndexWriter(
+        spark, out, config=IndexConfig(n_buckets=1, shuffle_partitions=2)
+    )
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(3 * b + j, docs[3 * b + j]) for j in range(3)],
+            "doc_id long, content string",
+        )
+        writer.process_batch(batch, b)
+    idx = FuseIndex(spark, out)
+    oracle = OracleIndex(Analyzer("english")).build(docs)
+    for q in QUERIES:
+        got = idx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in expect], atol=1e-9
+        )
