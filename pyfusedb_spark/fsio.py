@@ -130,14 +130,36 @@ def remove(path: str) -> None:
 
 def move(src: str, dst: str) -> None:
     """File-or-dir move. Local: os.replace (atomic). URI: FileSystem.move
-    (rename on local/HDFS; copy+delete on object stores — see module
-    docstring for where atomicity then comes from)."""
+    (rename on local/HDFS). Object stores (s3://, gs://) do not implement
+    directory move at all — Arrow raises — so directories degrade to a
+    recursive copy_files + delete_dir (the per-file copy+delete the module
+    docstring promises; atomicity then rests on the manifest commit, which
+    never names a dir until it is fully in place)."""
     if not is_uri(src):
         os.replace(src, dst)
         return
     fs, ps = get_fs(src)
     _, pd_ = get_fs(dst)
-    fs.move(ps, pd_)
+    _fs_move(fs, ps, pd_)
+
+
+def _fs_move(fs, ps: str, pd_: str) -> None:
+    import pyarrow.fs as pafs
+
+    if _is_local_fs(fs):
+        fs.move(ps, pd_)
+        return
+    if fs.get_file_info(ps).type == pafs.FileType.Directory:
+        # S3/GCS FileSystem.move("dir") raises NotImplementedError;
+        # copy_files handles the recursive per-object copy server-side.
+        pafs.copy_files(ps, pd_, source_filesystem=fs, destination_filesystem=fs)
+        fs.delete_dir(ps)
+        return
+    try:
+        fs.move(ps, pd_)
+    except (NotImplementedError, OSError):
+        pafs.copy_files(ps, pd_, source_filesystem=fs, destination_filesystem=fs)
+        fs.delete_file(ps)
 
 
 def stat_sig(path: str) -> tuple:
@@ -274,6 +296,20 @@ def dir_bytes(path: str) -> int:
     return sum(int(i.size) for i in infos if i.type == pafs.FileType.File and i.size)
 
 
+def _uri_prefix(root: str, fs_path: str) -> str:
+    """URI prefix to glue in front of filesystem-local child paths,
+    WITHOUT dropping the authority (hdfs://host:port/... must not
+    collapse to hdfs:///...). from_uri's fs-local path is a suffix of
+    the normalized root — the prefix is whatever precedes it:
+    "hdfs://host:9000" for HDFS (path starts with "/"), "s3://" for S3
+    (path includes the bucket), "file://" locally."""
+    norm_root = root.rstrip("/")
+    if norm_root.endswith(fs_path):
+        return norm_root[: len(norm_root) - len(fs_path)]
+    # percent-encoding or other normalization broke the suffix match
+    return root[: root.index("://") + 3]
+
+
 def find_tmp_dirs(root: str) -> list[str]:
     """Every `*.tmp-*` staging dir under root (recursive), as full
     paths in root's addressing scheme — catalog orphan cleanup."""
@@ -292,7 +328,7 @@ def find_tmp_dirs(root: str) -> list[str]:
     fs, p = get_fs(root)
     if fs.get_file_info(p).type != pafs.FileType.Directory:
         return out
-    scheme = root[: root.index("://") + 3] if not _is_local_fs(fs) else "file://"
+    prefix = _uri_prefix(root, p)
     infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
     dirs = sorted(
         i.path for i in infos
@@ -303,7 +339,7 @@ def find_tmp_dirs(root: str) -> list[str]:
     for d in dirs:
         if not any(d.startswith(k + "/") for k in kept):
             kept.append(d)
-    return [scheme + d for d in kept]
+    return [prefix + d for d in kept]
 
 
 def parquet_num_rows(path: str) -> int:

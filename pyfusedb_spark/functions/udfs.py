@@ -619,10 +619,14 @@ def make_tpart_build_task(
          appearing atomically (fsio.write_parquet_atomic). The former
          driver-serial staging→live promote loop — O(n_buckets x
          n_tparts) directory renames of driver metadata work on the
-         critical path — no longer exists; a tpart becomes *visible*
-         only through its manifest commit, and a crash mid-task leaves
-         partially-written final dirs that the re-run deletes first
-         (readers never trust an unmanifested tpart);
+         critical path — no longer exists; a tpart's lineage is its
+         manifest commit, and a crash mid-task leaves partially-written
+         final dirs. NOTE: FuseIndex discovers index/ by directory
+         listing, so such partials ARE reader-visible until repaired —
+         the driver therefore deletes every uncommitted / out-of-range
+         tpart dir before launching the wave (build.py
+         _file_shuffle_postings pre-wave cleanup), and this task
+         re-cleans its own slices as step 1 (retries / speculation);
       4. yield only tiny per-(tpart,bucket) stats rows — the driver
          builds segment manifests from them with zero read-back jobs.
 

@@ -324,6 +324,38 @@ def _file_shuffle_postings(
         tp for tp in range(n_tparts)
         if not (resume and _tpart_committed(cat, tp))
     ]
+    # Driver-side pre-wave cleanup (FuseIndex reads index/ by directory
+    # listing, so unmanifested dirs ARE query-visible):
+    #  - tpart dirs OUTSIDE the configured range — a rebuild with a
+    #    smaller n_tparts would otherwise leave stale tpart=P (P >=
+    #    n_tparts) that no task's _clean_own_slices ever touches,
+    #    double-counting postings;
+    #  - uncommitted (missing) tparts' dirs — a crashed task's partial
+    #    output stays visible until its re-run otherwise. The task still
+    #    re-cleans its own slices first (belt-and-braces vs speculative
+    #    or retried attempts).
+    stale_tps = set(missing)
+    for name in fsio.listdir(idx_dir):
+        if not name.startswith("bucket="):
+            continue
+        bdir = fsio.join(idx_dir, name)
+        for sub in fsio.listdir(bdir):
+            if not sub.startswith("tpart="):
+                continue
+            try:
+                p = int(sub.split("=", 1)[1])
+            except ValueError:
+                continue
+            if p >= n_tparts or p in stale_tps:
+                fsio.rmtree(fsio.join(bdir, sub))
+    for sub in fsio.listdir(lex_dir):
+        if sub.startswith("tpart="):
+            try:
+                p = int(sub.split("=", 1)[1])
+            except ValueError:
+                continue
+            if p >= n_tparts or p in stale_tps:
+                fsio.rmtree(fsio.join(lex_dir, sub))
     secs = 0.0
     if missing:
         t0 = time.perf_counter()

@@ -41,6 +41,12 @@ def assign_doc_ids(
     """Return df + dense int64 ``id_col`` = rank in the total order of
     ``sort_cols`` (must be a unique key).
 
+    If df ALREADY has an ``id_col`` column (a corpus with its own doc_id
+    that the caller chose not to trust via doc_id_col), the fresh ranks
+    REPLACE it in place — appending used to produce two ``doc_id``
+    attributes and an AMBIGUOUS_REFERENCE at the very next select. The
+    stale column still participates in ``sort_cols`` if listed there.
+
     The returned DataFrame is backed by a persisted sorted intermediate
     (exposed as ``._pyfusedb_cache`` for the caller to unpersist)."""
     from pyfusedb_spark.shipping import ensure_shipped
@@ -62,9 +68,13 @@ def assign_doc_ids(
         offsets[pid] = acc
         acc += counts[pid]
     bc = spark.sparkContext.broadcast(offsets)
-    out_schema = T.StructType(
-        [f for f in df.schema.fields] + [T.StructField(id_col, T.LongType(), False)]
-    )
+    id_field = T.StructField(id_col, T.LongType(), False)
+    if id_col in df.columns:
+        out_schema = T.StructType(
+            [id_field if f.name == id_col else f for f in df.schema.fields]
+        )
+    else:
+        out_schema = T.StructType([*df.schema.fields, id_field])
     cols = [f.name for f in df.schema.fields]
 
     def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

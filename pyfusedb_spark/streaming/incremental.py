@@ -87,6 +87,13 @@ class IncrementalIndexWriter:
             int(b) for b in (st.get("folded_batches") or [])
         )
         self._base_stats = self._resolve_base_stats()
+        # a crash DURING a staged write leaves `bucket=N.tmp-xxx` orphans
+        # inside index/ — readers scan index/ by listing, and a mixed
+        # `bucket=7` / `bucket=7.tmp-x` population makes hive inference
+        # type the partition as string (killing the pyarrow fast path)
+        # and, pre-flip, double-counts the orphan's chunk rows. Same
+        # single-writer resume semantics as build_index (build.py:501).
+        self.cat.clean_orphan_staging(out_dir)
         # a crash between a compaction's dir promote and its stats.json
         # visibility flip (or between the flip and GC) leaves invisible
         # stale dirs — clean them before any new work
@@ -227,6 +234,9 @@ class IncrementalIndexWriter:
         )
         for name in fsio.listdir(idx):
             if not name.startswith("bucket="):
+                continue
+            if ".tmp-" in name:  # staging orphan (belt-and-braces with
+                fsio.rmtree(fsio.join(idx, name))  # clean_orphan_staging)
                 continue
             try:
                 v = int(name.split("=", 1)[1])

@@ -1,0 +1,219 @@
+"""Round-5 ADVICE regressions:
+
+1. streaming writer GCs `bucket=N.tmp-xxx` staging orphans on init
+   (crash during a compaction's staged write must not leave a mixed
+   string/int hive partition population in index/);
+2. `fsio.move` of a DIRECTORY on a non-rename filesystem (S3/GCS have
+   no directory move) degrades to recursive copy + delete;
+3. `fsio.find_tmp_dirs` keeps the URI authority (hdfs://host:port);
+4. build pre-wave cleanup deletes stale out-of-range tpart dirs left by
+   a rebuild with a smaller n_tparts, and uncommitted tparts' partial
+   output, before launching the encoder wave.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyfusedb_spark import fsio
+from pyfusedb_spark.analysis import Analyzer
+from pyfusedb_spark.operators.build import IndexConfig, build_index
+from pyfusedb_spark.operators.query import FuseIndex
+from pyfusedb_spark.oracle import OracleIndex
+from pyfusedb_spark.streaming.incremental import IncrementalIndexWriter
+
+from tests.test_oracle import PANGRAMS
+
+CFG = IndexConfig(preset="english", n_buckets=1, shuffle_partitions=4)
+
+
+def _df(spark, docs, base=0):
+    return spark.createDataFrame(
+        [(i + base, c) for i, c in enumerate(docs)], "doc_id long, content string"
+    )
+
+
+# -- 1. streaming staging-orphan GC ----------------------------------------
+
+def test_streaming_init_gcs_staging_orphans(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    w = IncrementalIndexWriter(spark, out, config=CFG)
+    w.process_batch(_df(spark, PANGRAMS[:4]), 0)
+
+    # simulate a crash mid-staged-write: a tmp dir full of junk parquet
+    # sitting inside index/ (hive partition inference would type the
+    # whole `bucket` column as string because of this name)
+    idx = fsio.join(out, "index")
+    orphan = fsio.join(idx, "bucket=1000099.tmp-deadbeef")
+    fsio.makedirs(orphan)
+    pa_tbl = pa.table({"junk": [1]})
+    fsio.write_parquet_atomic(pa_tbl, fsio.join(orphan, "part-0.parquet"))
+    lex_orphan = fsio.join(out, "lexicon", "seg=99.tmp-deadbeef")
+    fsio.makedirs(lex_orphan)
+
+    w2 = IncrementalIndexWriter(spark, out, config=CFG)
+    assert not fsio.exists(orphan), "init must GC index staging orphans"
+    assert not fsio.exists(lex_orphan), "init must GC lexicon staging orphans"
+
+    # and the index still answers correctly afterwards
+    w2.process_batch(_df(spark, PANGRAMS[4:8], base=4), 1)
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS[:8])
+    got = FuseIndex(spark, out).search("quick fox", 10)
+    expect = oracle.search_bm25("quick fox", 10)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+
+# -- 2. directory move on a no-rename filesystem ----------------------------
+
+def test_fs_move_dir_without_rename_support(tmp_path, monkeypatch):
+    """Simulate S3/GCS: force the non-local branch of _fs_move while the
+    underlying fs is Arrow's LocalFileSystem — the directory must arrive
+    via the recursive copy_files + delete_dir fallback (S3FileSystem.move
+    raises NotImplementedError for directories)."""
+    import pyarrow.fs as pafs
+
+    monkeypatch.setattr(fsio, "_is_local_fs", lambda fs: False)
+    fs = pafs.LocalFileSystem()
+    src = tmp_path / "src"
+    (src / "nested").mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"alpha")
+    (src / "nested" / "b.txt").write_bytes(b"beta")
+    dst = tmp_path / "dst"
+
+    fsio._fs_move(fs, str(src), str(dst))
+    assert not src.exists()
+    assert (dst / "a.txt").read_bytes() == b"alpha"
+    assert (dst / "nested" / "b.txt").read_bytes() == b"beta"
+
+    # file move still works through the same dispatch
+    f1 = tmp_path / "one.txt"
+    f1.write_bytes(b"x")
+    fsio._fs_move(fs, str(f1), str(tmp_path / "two.txt"))
+    assert (tmp_path / "two.txt").read_bytes() == b"x"
+    assert not f1.exists()
+
+
+# -- 3. URI authority preservation ------------------------------------------
+
+def test_uri_prefix_preserves_authority():
+    assert fsio._uri_prefix("hdfs://host:9000/data/idx", "/data/idx") == "hdfs://host:9000"
+    assert fsio._uri_prefix("s3://bucket/data/idx", "bucket/data/idx") == "s3://"
+    assert fsio._uri_prefix("file:///tmp/x", "/tmp/x") == "file://"
+    # trailing slash on the root must not break the suffix match
+    assert fsio._uri_prefix("hdfs://h:1/p/", "/p") == "hdfs://h:1"
+    # normalization mismatch falls back to scheme-only (never crashes)
+    assert fsio._uri_prefix("hdfs://h:1/p%20q", "/p q") == "hdfs://"
+
+
+def test_find_tmp_dirs_round_trips_file_uri(tmp_path):
+    root = f"file://{tmp_path}/store"
+    fsio.makedirs(fsio.join(root, "index/bucket=0.tmp-x/child"))
+    fsio.makedirs(fsio.join(root, "index/bucket=0"))
+    found = fsio.find_tmp_dirs(root)
+    assert found == [f"file://{tmp_path}/store/index/bucket=0.tmp-x"]
+    fsio.rmtree(found[0])  # the returned URI must resolve for deletion
+    assert fsio.find_tmp_dirs(root) == []
+
+
+# -- assign_doc_ids over a corpus that already has a doc_id column -----------
+
+def test_assign_doc_ids_replaces_existing_id_column(spark):
+    """A corpus whose schema already contains doc_id (but whose values
+    the caller chose not to trust) used to come back with TWO doc_id
+    attributes — the very next select raised AMBIGUOUS_REFERENCE. The
+    fresh ranks must replace the stale column in place."""
+    from pyfusedb_spark.operators.ids import assign_doc_ids
+
+    df = spark.createDataFrame(
+        [(99, "b"), (42, "a"), (7, "c")], "doc_id long, content string"
+    )
+    out = assign_doc_ids(df, ["content"])
+    assert out.columns == ["doc_id", "content"]
+    rows = {r["content"]: r["doc_id"] for r in out.collect()}
+    assert rows == {"a": 0, "b": 1, "c": 2}
+    out._pyfusedb_cache.unpersist()
+
+    # end-to-end: build_index with doc_id_col=None over such a corpus
+    # must analyze cleanly (ids are re-ranked by the sort key)
+    out2 = assign_doc_ids(df, ["content"]).select("doc_id", "content")
+    assert out2.count() == 3
+
+
+# -- 4. stale tpart dirs on rebuild -----------------------------------------
+
+def test_rebuild_smaller_ntparts_drops_stale_tpart_dirs(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    cfg4 = IndexConfig(preset="english", n_buckets=2, shuffle_partitions=4, n_tparts=4)
+    build_index(spark, _df(spark, PANGRAMS), out, doc_id_col="doc_id", config=cfg4)
+
+    # rebuild the same root with HALF the tparts: the old tpart=2,3 dirs
+    # must not survive (nothing task-side would ever clean them)
+    cfg2 = IndexConfig(preset="english", n_buckets=2, shuffle_partitions=4, n_tparts=2)
+    build_index(
+        spark, _df(spark, PANGRAMS), out, doc_id_col="doc_id", config=cfg2, resume=False
+    )
+
+    idx_dir = fsio.join(out, "index")
+    for bucket in fsio.listdir(idx_dir):
+        if not bucket.startswith("bucket="):
+            continue
+        tps = [
+            int(n.split("=", 1)[1])
+            for n in fsio.listdir(fsio.join(idx_dir, bucket))
+            if n.startswith("tpart=")
+        ]
+        assert tps and max(tps) < 2, f"stale tpart dirs survive in {bucket}: {tps}"
+    lex_tps = [
+        int(n.split("=", 1)[1])
+        for n in fsio.listdir(fsio.join(out, "lexicon"))
+        if n.startswith("tpart=")
+    ]
+    assert lex_tps and max(lex_tps) < 2
+
+    # and scoring is still oracle-exact (no double-counted postings)
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    fidx = FuseIndex(spark, out)
+    for q in ["quick fox", "jumping wizards"]:
+        got = fidx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in expect], atol=1e-9
+        )
+
+
+def test_prewave_cleanup_drops_uncommitted_partial_output(spark, tmp_path):
+    """A crashed tpart task's partial dir is reader-visible (FuseIndex
+    lists index/). The driver must delete uncommitted tparts' dirs
+    before the wave so a resume never scores duplicated postings."""
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(preset="english", n_buckets=1, shuffle_partitions=4, n_tparts=2)
+    build_index(spark, _df(spark, PANGRAMS), out, doc_id_col="doc_id", config=cfg)
+
+    from pyfusedb_spark.sources.catalog import ManifestCatalog
+
+    cat = ManifestCatalog(out)
+    # invalidate tpart=1 (simulates "task wrote files then died before
+    # its manifest commit"): duplicate its chunk file to fake a partial
+    # double-write, then uncommit
+    idx_dir = fsio.join(out, "index")
+    bucket0 = fsio.join(idx_dir, "bucket=0", "tpart=1")
+    files = [n for n in fsio.listdir(bucket0) if n.endswith(".parquet")]
+    assert files
+    src = fsio.join(bucket0, files[0])
+    dup = fsio.join(bucket0, "part-duplicate.parquet")
+    import shutil
+
+    shutil.copyfile(src, dup)
+    cat.uncommit("tpart=1")
+    cat.uncommit("stage_postings")
+    cat.uncommit("stage_stats")
+
+    build_index(spark, _df(spark, PANGRAMS), out, config=cfg, resume=True)
+    assert not fsio.exists(dup), "pre-wave cleanup must remove partial output"
+    oracle = OracleIndex(Analyzer("english")).build(PANGRAMS)
+    got = FuseIndex(spark, out).search("quick fox", 10)
+    expect = oracle.search_bm25("quick fox", 10)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
