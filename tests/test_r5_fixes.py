@@ -116,6 +116,61 @@ def test_find_tmp_dirs_round_trips_file_uri(tmp_path):
     assert fsio.find_tmp_dirs(root) == []
 
 
+# -- tfidf norms: candidate-only fetch ---------------------------------------
+
+def test_tfidf_norms_fetch_is_candidate_bounded(spark, tmp_path):
+    """The tfidf driver scorer must never materialize more doc_stats
+    rows than it has candidate docs (round-4 verdict #2: the old path
+    toPandas()'d EVERY norm — O(n_docs) driver memory per index)."""
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(preset="english", n_buckets=2, shuffle_partitions=4, n_tparts=2)
+    build_index(spark, _df(spark, PANGRAMS), out, doc_id_col="doc_id", config=cfg)
+
+    idx = FuseIndex(spark, out)
+    analyzer = Analyzer("english")
+    oracle = OracleIndex(analyzer).build(PANGRAMS)
+
+    fetched_rows = []
+    orig = FuseIndex._fetch_norm_rows
+
+    def spy(self, ids):
+        pdf = orig(self, ids)
+        fetched_rows.append(len(pdf))
+        return pdf
+
+    FuseIndex._fetch_norm_rows = spy
+    try:
+        for q in ["quick fox", "jumping wizards"]:
+            # candidates = docs containing >=1 query term (disjunctive)
+            terms = analyzer.preprocess_query(q)  # dict term -> qtf
+            cand = set()
+            for t in terms:
+                cand.update(d for d, _ in oracle.postings.get(t, ()))
+            before = sum(fetched_rows)
+            got = idx.search(q, 10, mode="tfidf")
+            fetched_now = sum(fetched_rows) - before
+            assert fetched_now <= len(cand) < idx.n_docs, (
+                q, fetched_now, len(cand), idx.n_docs
+            )
+            expect = oracle.search_tfidf(q, 10)
+            # norms are distributed float sums, so EXACT score ties can
+            # order differently than the oracle depending on shuffle
+            # partitioning — compare rank with ulp-tie tolerance
+            def canon(pairs):
+                return sorted(
+                    ((d, round(s, 9)) for d, s in pairs),
+                    key=lambda x: (-x[1], x[0]),
+                )
+
+            assert canon(got) == canon(expect), q
+        # repeat query: warm cache, ZERO additional rows fetched
+        before = sum(fetched_rows)
+        idx.search("quick fox", 10, mode="tfidf")
+        assert sum(fetched_rows) == before
+    finally:
+        FuseIndex._fetch_norm_rows = orig
+
+
 # -- assign_doc_ids over a corpus that already has a doc_id column -----------
 
 def test_assign_doc_ids_replaces_existing_id_column(spark):
