@@ -309,24 +309,26 @@ class FuseIndex:
         return sorted(out)
 
     def _apply_bucket_visibility(self, df: DataFrame) -> DataFrame:
-        """Spark-side mirror of the pyarrow visibility filter: exclude
-        folded stream batch buckets and any non-current compacted
-        generation (streaming/incremental.py posting compaction — an
-        unflipped new generation or a not-yet-GC'd folded dir must
-        never be scored)."""
+        """Spark-side mirror of the pyarrow visibility filter: only the
+        base buckets, the flipped compacted stream segments, and batch
+        buckets newer than folded_upto are scored (streaming/
+        incremental.py tiered compaction — an unflipped fresh segment
+        or a not-yet-GC'd folded dir must never be scored). Both the
+        live-batch side and the folded side are RANGE predicates; only
+        the visible segment list (≤ K per level) is an isin."""
         vis = visible_bucket_components(self.stats)
         if vis is None:
             return df
-        cur, dead = vis
-        cond = (F.col("bucket") < STREAM_GEN_BUCKET_BASE) | (
-            F.col("bucket") >= STREAM_BATCH_BUCKET_BASE
+        segs, folded_upto = vis
+        live_from = STREAM_BATCH_BUCKET_BASE + (
+            folded_upto + 1 if folded_upto is not None else 0
         )
-        if cur is not None:
-            cond = cond | (F.col("bucket") == cur)
-        out = df.where(cond)
-        if dead:
-            out = out.where(~F.col("bucket").isin(dead))
-        return out
+        cond = (F.col("bucket") < STREAM_GEN_BUCKET_BASE) | (
+            F.col("bucket") >= live_from
+        )
+        if segs:
+            cond = cond | F.col("bucket").isin(segs)
+        return df.where(cond)
 
     def _pa_visibility_filter(self, pc):
         """pyarrow.compute expression for the same visibility rule, or
@@ -334,14 +336,15 @@ class FuseIndex:
         vis = visible_bucket_components(self.stats)
         if vis is None:
             return None
-        cur, dead = vis
-        flt = (pc.field("bucket") < STREAM_GEN_BUCKET_BASE) | (
-            pc.field("bucket") >= STREAM_BATCH_BUCKET_BASE
+        segs, folded_upto = vis
+        live_from = STREAM_BATCH_BUCKET_BASE + (
+            folded_upto + 1 if folded_upto is not None else 0
         )
-        if cur is not None:
-            flt = flt | (pc.field("bucket") == cur)
-        if dead:
-            flt = flt & ~pc.field("bucket").isin(dead)
+        flt = (pc.field("bucket") < STREAM_GEN_BUCKET_BASE) | (
+            pc.field("bucket") >= live_from
+        )
+        if segs:
+            flt = flt | pc.field("bucket").isin(segs)
         return flt
 
     def _fetch_chunks_uncached(self, terms: list[str]) -> pd.DataFrame:

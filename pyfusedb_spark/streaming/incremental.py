@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from pyfusedb_spark.functions.udfs import CHUNK_SCHEMA, make_chunk_encoder, sha256_col, term_freqs_udf
 from pyfusedb_spark import fsio
-from pyfusedb_spark.layout import STREAM_BATCH_BUCKET_BASE, STREAM_GEN_BUCKET_BASE
+from pyfusedb_spark.layout import (
+    STREAM_BATCH_BUCKET_BASE,
+    STREAM_GEN_BUCKET_BASE,
+    stream_seg_bucket,
+)
 from pyfusedb_spark.operators.build import IndexConfig
 from pyfusedb_spark.sources.catalog import ManifestCatalog, write_json_atomic
 
@@ -62,15 +66,16 @@ class IncrementalIndexWriter:
         # (amortizes the O(vocabulary) rewrite the per-batch refresh no
         # longer pays; raise for higher-rate streams)
         self.compact_every = 8
-        # fold live posting batch buckets (index/bucket=1000000+b) into
-        # the single compacted generation segment once this many are
-        # live — bounds chunk rows per term at O(compact_postings_every)
-        # instead of O(n_batches) (round-3 verdict "what's wrong" #2).
-        # The fold is a decode+re-encode of the streamed postings (the
-        # amortized LSM rewrite; total write cost O(n^2/K) over n
-        # batches — tiered levels are the standard extension if a
-        # stream outlives that). Re-encoding uses the CURRENT global
-        # avgdl, so compaction also heals block-max (wand_safe) drift.
+        # TIERED posting compaction (LSM): once K live batch buckets
+        # accumulate, fold them into one level-0 segment; once K level-L
+        # segments accumulate, fold them into one level-(L+1) segment.
+        # Per-term visible chunk rows stay <= K·(levels+1) and — unlike
+        # the round-4 single-generation fold, whose total rewrite cost
+        # was O(n²/K) over n batches — every posting is rewritten at
+        # most once per level it passes through, so total compaction
+        # bytes grow O(n·log_K n). Re-encoding uses the CURRENT global
+        # avgdl, so each fold also heals block-max (wand_safe) drift
+        # for the docs it covers.
         self.compact_postings_every = 8
         self.last_refresh_input_files: list[str] = []
         self.last_refresh_written_files: list[str] = []
@@ -82,10 +87,15 @@ class IncrementalIndexWriter:
         st = self._current_stats()
         self.n_tparts = st.get("n_tparts")
         self.tpart_spread = int(st.get("tpart_spread") or 1)
-        self.stream_gen = st.get("stream_gen")
-        self.folded_batches: list[int] = sorted(
-            int(b) for b in (st.get("folded_batches") or [])
-        )
+        # tiered-compaction state: live segments, each a dict with
+        # {lo, hi, level, bucket, enc_avgdl} (lo/hi = folded batch-id
+        # range; bucket = stream_seg_bucket(lo, level)), sorted by lo.
+        self.stream_segments: list[dict] = [
+            dict(s) for s in (st.get("stream_segments") or [])
+        ]
+        # cumulative bytes written by ALL compaction folds (the LSM
+        # write-amplification meter; test-asserted O(n log n))
+        self.compaction_bytes_written = int(st.get("compaction_bytes_written") or 0)
         self._base_stats = self._resolve_base_stats()
         # a crash DURING a staged write leaves `bucket=N.tmp-xxx` orphans
         # inside index/ — readers scan index/ by listing, and a mixed
@@ -211,27 +221,35 @@ class IncrementalIndexWriter:
                 "encode_avgdl": stats["avgdl"],
                 "n_docs": batch_n,
                 "doc_len_sum": batch_len,
+                # posting bytes of this batch dir — the denominator of
+                # the LSM write-amplification meter (compaction_bytes_
+                # written / sum of batch bytes ≈ levels passed through)
+                "bytes": fsio.dir_bytes(final_dir),
                 "seconds": round(time.perf_counter() - t0, 3),
             },
         )
         self._refresh_global(batch_id, final_dir)
         self._maybe_compact_postings(batch_id)
 
-    # -- posting-segment compaction (LSM over batch buckets) ----------------
+    # -- posting-segment compaction (tiered LSM over batch buckets) ---------
+    @property
+    def folded_upto(self) -> int | None:
+        """Highest folded batch id (folds always take the oldest live
+        prefix, so [0..folded_upto] is exactly the folded set)."""
+        if not self.stream_segments:
+            return None
+        return max(int(s["hi"]) for s in self.stream_segments)
+
     def _gc_stale_posting_dirs(self) -> None:
         """Remove posting dirs that are invisible under the current
-        stats.json (orphan generations from a crashed compaction, and
-        folded batch dirs whose GC was interrupted). Safe at any time:
+        stats.json (orphan segments from a crashed fold, and folded
+        batch/segment dirs whose GC was interrupted). Safe at any time:
         readers never look at these dirs (layout.visible_bucket_components)."""
         idx = fsio.join(self.out_dir, "index")
         if not fsio.isdir(idx):
             return
-        folded = set(self.folded_batches)
-        cur_gen_bucket = (
-            STREAM_GEN_BUCKET_BASE + int(self.stream_gen)
-            if self.stream_gen is not None
-            else None
-        )
+        visible = {int(s["bucket"]) for s in self.stream_segments}
+        upto = self.folded_upto
         for name in fsio.listdir(idx):
             if not name.startswith("bucket="):
                 continue
@@ -244,44 +262,100 @@ class IncrementalIndexWriter:
                 continue
             stale = (
                 STREAM_GEN_BUCKET_BASE <= v < STREAM_BATCH_BUCKET_BASE
-                and v != cur_gen_bucket
-            ) or (v >= STREAM_BATCH_BUCKET_BASE and v - STREAM_BATCH_BUCKET_BASE in folded)
+                and v not in visible
+            ) or (
+                v >= STREAM_BATCH_BUCKET_BASE
+                and upto is not None
+                and v - STREAM_BATCH_BUCKET_BASE <= upto
+            )
             if stale:
                 fsio.rmtree(fsio.join(idx, name))
 
     def _live_batch_ids(self) -> list[int]:
         """Committed streamed batch ids whose posting dirs are still live
-        (not folded into the compacted generation)."""
-        folded = set(self.folded_batches)
+        (newer than every compacted segment)."""
+        upto = self.folded_upto
         out = []
         for k, m in self.cat.snapshot().get("manifests", {}).items():
             if k.startswith("stream_batch=") and "batch_id" in m:
                 b = int(m["batch_id"])
-                if b not in folded:
+                if upto is None or b > upto:
                     out.append(b)
         return sorted(out)
 
     def _maybe_compact_postings(self, batch_id: int) -> None:
+        """Tiered fold policy: K live batches -> one level-0 segment;
+        K level-L segments -> one level-(L+1) segment, cascading. Each
+        posting is rewritten at most once per level -> O(n log_K n)
+        total compaction bytes over n batches (the round-4 single-
+        generation fold paid O(n²/K); reference analog: the k-way
+        batch-build merge app/InvertedIndexFinal.py:287-346 expressed
+        as an LSM)."""
+        k = self.compact_postings_every
         live = self._live_batch_ids()
-        if len(live) >= self.compact_postings_every:
-            self._compact_postings(live, batch_id)
+        if len(live) >= k:
+            fold = live[:k] if len(live) > k else live
+            idx = fsio.join(self.out_dir, "index")
+            src = [
+                d
+                for b in fold
+                if fsio.isdir(d := fsio.join(idx, f"bucket={STREAM_BATCH_BUCKET_BASE + b}"))
+            ]
+            if src:
+                self._fold_segment(src, lo=fold[0], hi=fold[-1], level=0,
+                                   drop_batches=fold, batch_id=batch_id)
+        # cascade upward: fold the oldest K same-level segments
+        while True:
+            by_level: dict[int, list[dict]] = {}
+            for s in self.stream_segments:
+                by_level.setdefault(int(s["level"]), []).append(s)
+            folded_any = False
+            for lvl in sorted(by_level):
+                segs = sorted(by_level[lvl], key=lambda s: int(s["lo"]))
+                if len(segs) < k:
+                    continue
+                victims = segs[:k]
+                idx = fsio.join(self.out_dir, "index")
+                src = [
+                    d
+                    for s in victims
+                    if fsio.isdir(d := fsio.join(idx, f"bucket={int(s['bucket'])}"))
+                ]
+                if src:
+                    self._fold_segment(
+                        src,
+                        lo=int(victims[0]["lo"]),
+                        hi=int(victims[-1]["hi"]),
+                        level=lvl + 1,
+                        drop_segments=victims,
+                        batch_id=batch_id,
+                    )
+                    folded_any = True
+                    break  # levels changed; recompute
+            if not folded_any:
+                return
 
-    def _compact_postings(self, live: list[int], batch_id: int) -> None:
-        """Fold the previous generation segment + every live batch bucket
-        into ONE new generation dir ``index/bucket=<GEN_BASE+g>``.
+    def _fold_segment(
+        self,
+        src: list[str],
+        lo: int,
+        hi: int,
+        level: int,
+        batch_id: int,
+        drop_batches: list[int] | None = None,
+        drop_segments: list[dict] | None = None,
+    ) -> None:
+        """Merge the source dirs into ONE new segment dir
+        ``index/bucket=stream_seg_bucket(lo, level)``.
 
         Merge is a per-term decode → doc-sort → re-encode applyInPandas
         (chunk ROWS shuffle, payloads stay varint-packed on the wire;
         doc-disjoint sources make the merged list doc-unique by
         construction). Re-encode uses the CURRENT global avgdl, so the
         new segment's block-max bounds are fresh. Visibility flips with
-        the atomic stats.json write (stream_gen/folded_batches) AFTER
-        the dir promote; old dirs are GC'd last — a crash anywhere
-        leaves either the old state or the new state visible, never
-        both (reference analog: the batch build's k-way final merge,
-        app/InvertedIndexFinal.py:287-346, expressed as an LSM fold)."""
-        import shutil
-
+        the atomic stats.json write (stream_segments) AFTER the dir
+        promote; old dirs are GC'd last — a crash anywhere leaves
+        either the old state or the new state visible, never both."""
         import numpy as np
         import pandas as pd
 
@@ -290,20 +364,7 @@ class IncrementalIndexWriter:
         t0 = time.perf_counter()
         spark = self.spark
         idx = fsio.join(self.out_dir, "index")
-        src = []
-        if self.stream_gen is not None:
-            d = fsio.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(self.stream_gen)}")
-            if fsio.isdir(d):
-                src.append(d)
-        live_dirs = []
-        for b in live:
-            d = fsio.join(idx, f"bucket={STREAM_BATCH_BUCKET_BASE + b}")
-            if fsio.isdir(d):
-                live_dirs.append(d)
-        src += live_dirs
-        if not src:
-            return
-        g = int(self.stream_gen or 0) + 1
+        bucket = stream_seg_bucket(lo, level)
         stats = self._current_stats()
         avgdl = float(stats["avgdl"]) or 1.0
         k1, b_, block_size = self.config.k1, self.config.b, self.config.block_size
@@ -343,11 +404,11 @@ class IncrementalIndexWriter:
             .groupBy("term")
             .applyInPandas(merge_term, CHUNK_SCHEMA)
         )
-        final_dir = fsio.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + g}")
+        final_dir = fsio.join(idx, f"bucket={bucket}")
         staging = self.cat.staging_dir(final_dir)
         writer = chunks.write.mode("overwrite")
         if self.n_tparts:
-            j = (STREAM_GEN_BUCKET_BASE + g) % max(1, self.tpart_spread)
+            j = bucket % max(1, self.tpart_spread)
             chunks = chunks.withColumn(
                 "tpart",
                 F.pmod(
@@ -357,32 +418,46 @@ class IncrementalIndexWriter:
             )
             writer = chunks.write.mode("overwrite").partitionBy("tpart")
         writer.parquet(staging)
+        seg_bytes = fsio.dir_bytes(staging)
         self.cat.promote_dir(staging, final_dir)
-        folded = sorted({*self.folded_batches, *live})
         self.cat.commit(
-            f"stream_compact={g}",
+            f"stream_seg={bucket}",
             {
                 "data_dir": final_dir,
-                "gen": g,
-                "folded": folded,
+                "lo": lo,
+                "hi": hi,
+                "level": level,
+                "bucket": bucket,
                 "encode_avgdl": avgdl,
                 "n_sources": len(src),
+                "bytes": seg_bytes,
                 "seconds": round(time.perf_counter() - t0, 3),
             },
         )
-        old_gen = self.stream_gen
-        self.stream_gen = g
-        self.folded_batches = folded
-        # atomic visibility flip: readers move to the new generation and
-        # drop the folded batch buckets in one stats.json replace
+        dropped_buckets = [int(s["bucket"]) for s in (drop_segments or [])]
+        self.stream_segments = sorted(
+            [
+                s for s in self.stream_segments
+                if int(s["bucket"]) not in dropped_buckets
+            ]
+            + [
+                {
+                    "lo": lo,
+                    "hi": hi,
+                    "level": level,
+                    "bucket": bucket,
+                    "enc_avgdl": avgdl,
+                }
+            ],
+            key=lambda s: int(s["lo"]),
+        )
+        self.compaction_bytes_written += int(seg_bytes)
+        # atomic visibility flip: readers move to the new segment set
+        # (and past the folded batch buckets) in one stats.json replace
         self._finish_refresh(batch_id, self._lexicon_vocab_ub())
         # GC (invisible now); interrupted GC is finished by the next
         # writer's _gc_stale_posting_dirs
-        if old_gen is not None:
-            fsio.rmtree(
-                fsio.join(idx, f"bucket={STREAM_GEN_BUCKET_BASE + int(old_gen)}")
-            )
-        for d in live_dirs:
+        for d in src:
             fsio.rmtree(d)
 
     # -- global refresh -------------------------------------------------------
@@ -545,33 +620,30 @@ class IncrementalIndexWriter:
                 n_docs += int(m["n_docs"])
                 total_len += int(m.get("doc_len_sum", 0))
         avgdl = total_len / n_docs if n_docs else 0.0
-        # WAND safety: every LIVE segment encoded block-max against its
-        # own avgdl; pruning is only exact while they all match the
+        # WAND safety: every LIVE component encoded block-max against
+        # its own avgdl; pruning is only exact while they all match the
         # current global value. Folded batches' postings were RE-encoded
-        # at compaction time, so their drift is the generation
-        # manifest's encode_avgdl, not the original batches' — posting
-        # compaction therefore heals drift.
+        # at fold time, so their drift is the covering SEGMENT's
+        # enc_avgdl, not the original batches' — compaction therefore
+        # heals drift for everything it covers.
         drift = 0.0
-        folded = set(self.folded_batches)
+        upto = self.folded_upto
         for k, m in self.cat.snapshot().get("manifests", {}).items():
-            enc = None
             if k.startswith("stream_batch=") and m.get("encode_avgdl"):
-                if int(m.get("batch_id", -1)) in folded:
-                    continue  # superseded by the compacted generation
+                b = int(m.get("batch_id", -1))
+                if upto is not None and b <= upto:
+                    continue  # superseded by a compacted segment
                 enc = float(m["encode_avgdl"])
-            elif (
-                k.startswith("stream_compact=")
-                and self.stream_gen is not None
-                and int(m.get("gen", -1)) == int(self.stream_gen)
-                and m.get("encode_avgdl")
-            ):
-                enc = float(m["encode_avgdl"])
-            if enc and enc > 0 and avgdl > 0:
+                if enc > 0 and avgdl > 0:
+                    drift = max(drift, abs(enc - avgdl) / avgdl)
+        for s in self.stream_segments:
+            enc = float(s.get("enc_avgdl") or 0.0)
+            if enc > 0 and avgdl > 0:
                 drift = max(drift, abs(enc - avgdl) / avgdl)
         from dataclasses import asdict
 
         stats = {
-            "format_version": 1,
+            "format_version": 2,
             "config": asdict(self.config),
             "n_docs": n_docs,
             "avgdl": avgdl,
@@ -586,11 +658,11 @@ class IncrementalIndexWriter:
             "last_batch_id": batch_id,
             "n_tparts": self.n_tparts,  # preserve tpart addressing
             "tpart_spread": self.tpart_spread if self.n_tparts else None,
-            # posting-compaction visibility state (layout.py): readers
-            # see ONLY bucket<GEN_BASE, the current generation bucket,
-            # and batch buckets not in folded_batches
-            "stream_gen": self.stream_gen,
-            "folded_batches": self.folded_batches,
+            # tiered-compaction visibility state (layout.py): readers
+            # see ONLY bucket<GEN_BASE, the listed segment buckets, and
+            # batch buckets newer than folded_upto
+            "stream_segments": self.stream_segments,
+            "compaction_bytes_written": self.compaction_bytes_written,
         }
         # atomic: a FuseIndex held open across appends re-stats and
         # re-reads this file on every search (query.py _refresh_if_stale)

@@ -106,12 +106,14 @@ def test_refresh_reads_only_new_batch_and_lexicon(spark, tmp_path):
     )
     read = writer.last_refresh_input_files
     assert read, "refresh recorded no inputs"
-    batch1_dir = os.path.join(out, "index", "bucket=1000001")
+    from pyfusedb_spark.layout import STREAM_BATCH_BUCKET_BASE as BB
+
+    batch1_dir = os.path.join(out, "index", f"bucket={BB + 1}")
     lex_dir = os.path.join(out, "lexicon")
     for f in read:
         p = f.split("://", 1)[-1]
         assert p.startswith(batch1_dir) or p.startswith(lex_dir), f
-    assert not any(f.split("://", 1)[-1].startswith(os.path.join(out, "index", "bucket=1000000"))
+    assert not any(f.split("://", 1)[-1].startswith(os.path.join(out, "index", f"bucket={BB}"))
                    for f in read)
 
 
@@ -283,16 +285,32 @@ def test_posting_compaction_bounds_chunks_and_matches_oracle(spark, tmp_path):
         )
         writer.process_batch(batch, b)
 
-    # every batch folded: 12 batches / K=4 -> 3 generations, last one live
-    idx_dir = os.path.join(out, "index")
-    batch_dirs = [d for d in os.listdir(idx_dir) if d.startswith("bucket=100")]
-    gen_dirs = [d for d in os.listdir(idx_dir) if d.startswith("bucket=5000")]
-    assert len(batch_dirs) < writer.compact_postings_every
-    assert gen_dirs == ["bucket=500003"]
+    # tiered LSM: 12 batches / K=4 -> three level-0 segments, no live
+    # batch dirs left (every fold takes the oldest K)
+    from pyfusedb_spark.layout import (
+        STREAM_BATCH_BUCKET_BASE as BB,
+        stream_seg_bucket,
+    )
 
-    # visible chunk rows for a hot term: 1 (gen) + live batches, NOT 12
+    idx_dir = os.path.join(out, "index")
+    batch_dirs = [
+        d for d in os.listdir(idx_dir)
+        if d.startswith("bucket=") and int(d.split("=")[1]) >= BB
+    ]
+    gen_dirs = sorted(
+        d for d in os.listdir(idx_dir)
+        if d.startswith("bucket=") and 500_000 <= int(d.split("=")[1]) < BB
+    )
+    assert len(batch_dirs) < writer.compact_postings_every
+    assert gen_dirs == [
+        f"bucket={stream_seg_bucket(0, 0)}",
+        f"bucket={stream_seg_bucket(4, 0)}",
+        f"bucket={stream_seg_bucket(8, 0)}",
+    ]
+
+    # visible chunk rows for a hot term: <= segments + live batches, NOT 12
     n_quick, _ = _chunk_rows_per_term(out, "quick")
-    assert 0 < n_quick <= 1 + len(batch_dirs)
+    assert 0 < n_quick <= len(gen_dirs) + len(batch_dirs)
 
     idx = FuseIndex(spark, out)
     oracle = OracleIndex(Analyzer("english")).build(docs)
@@ -310,10 +328,15 @@ def test_posting_compaction_bounds_chunks_and_matches_oracle(spark, tmp_path):
         ]
         assert [d for d, _ in dist] == [d for d, _ in expect], q
 
-    # the final compaction re-encoded everything at the final avgdl
-    assert idx.stats["wand_safe"] is True
-    assert idx.stats["stream_gen"] == 3
-    assert idx.stats["folded_batches"] == list(range(12))
+    # tiered state: three level-0 segments covering batches [0..11];
+    # wand_safe must be CONSISTENT with the recorded drift (older
+    # segments keep their fold-time avgdl until a higher-level fold
+    # re-encodes them, so safety is measured, not assumed)
+    segs = idx.stats["stream_segments"]
+    assert [(s["lo"], s["hi"], s["level"]) for s in segs] == [
+        (0, 3, 0), (4, 7, 0), (8, 11, 0)
+    ]
+    assert idx.stats["wand_safe"] == (idx.stats["avgdl_drift"] <= 0.01)
 
 
 def test_posting_compaction_crash_artifacts_invisible_then_gcd(spark, tmp_path):
@@ -332,19 +355,25 @@ def test_posting_compaction_crash_artifacts_invisible_then_gcd(spark, tmp_path):
             "doc_id long, content string",
         )
         writer.process_batch(batch, b)
+    from pyfusedb_spark.layout import (
+        STREAM_BATCH_BUCKET_BASE as BB,
+        stream_seg_bucket,
+    )
+
     idx_dir = os.path.join(out, "index")
-    gen_dir = os.path.join(idx_dir, "bucket=500002")
+    gen_dir = os.path.join(idx_dir, f"bucket={stream_seg_bucket(0, 0)}")
     assert os.path.isdir(gen_dir)
 
     baseline = FuseIndex(spark, out).search("quick", 10)
     assert baseline
 
-    # crash artifact 1: promoted-but-unflipped NEXT generation
-    orphan_gen = os.path.join(idx_dir, "bucket=500003")
+    # crash artifact 1: promoted-but-unflipped NEXT fold (a level-1
+    # segment whose stats flip never happened)
+    orphan_gen = os.path.join(idx_dir, f"bucket={stream_seg_bucket(0, 1)}")
     shutil.copytree(gen_dir, orphan_gen)
     # crash artifact 2: folded batch dir that escaped GC (would double-
     # count batch 0's postings if visible)
-    stale_batch = os.path.join(idx_dir, "bucket=1000000")
+    stale_batch = os.path.join(idx_dir, f"bucket={BB}")
     shutil.copytree(gen_dir, stale_batch)
 
     assert FuseIndex(spark, out).search("quick", 10) == baseline
@@ -354,3 +383,87 @@ def test_posting_compaction_crash_artifacts_invisible_then_gcd(spark, tmp_path):
     assert not os.path.exists(orphan_gen)
     assert not os.path.exists(stale_batch)
     assert FuseIndex(spark, out).search("quick", 10) == baseline
+
+
+@pytest.mark.parametrize("use_uri", [False, True], ids=["path", "file_uri"])
+def test_tiered_compaction_64_batches(spark, tmp_path, use_uri):
+    """Round-5 task: tiered LSM compaction over >=64 micro-batches.
+
+    (a) visible chunk dirs per term stay <= K per live level (+ live
+        batches), never O(n_batches);
+    (b) total bytes REWRITTEN by compaction grow O(n log_K n): the
+        write-amplification ratio (compaction bytes / ingested batch
+        bytes) is bounded by the number of levels a posting can pass
+        through (log_K n + 1), NOT by n/K as the round-4 single-
+        generation fold paid;
+    (c) results stay oracle-exact after many cascaded folds;
+    (d) the whole protocol works against a ``file://`` root (promote =
+        fsio.move; a crash between promote and flip is covered by the
+        crash-artifact test above, this closes the URI-root gap).
+    """
+    import math
+
+    from pyfusedb_spark.layout import STREAM_BATCH_BUCKET_BASE as BB
+
+    n_batches = 64
+    k = 4
+    docs = [PANGRAMS[i % len(PANGRAMS)] + f" filler{i}" for i in range(n_batches)]
+    out = str(tmp_path / "tier_idx")
+    root = f"file://{out}" if use_uri else out
+    writer = IncrementalIndexWriter(spark, root, config=CFG)
+    writer.compact_postings_every = k
+    for b in range(n_batches):
+        writer.process_batch(
+            spark.createDataFrame([(b, docs[b])], "doc_id long, content string"), b
+        )
+
+    # (a) bounded live components: levels = ceil(log_k 64) = 3; at most
+    # k-1 segments per level + k-1 live batches may coexist
+    idx_dir = os.path.join(out, "index")
+    buckets = [int(d.split("=")[1]) for d in os.listdir(idx_dir) if d.startswith("bucket=")]
+    live_batches = [v for v in buckets if v >= BB]
+    seg_buckets = [v for v in buckets if 500_000 <= v < BB]
+    levels = math.ceil(math.log(n_batches, k))
+    assert len(live_batches) < k
+    assert len(seg_buckets) <= k * levels, (len(seg_buckets), levels)
+    # stats mirror disk exactly
+    idx = FuseIndex(spark, root)
+    segs = idx.stats["stream_segments"]
+    assert sorted(int(s["bucket"]) for s in segs) == sorted(seg_buckets)
+    # 64 = 4^3: everything folds into ONE level-2 segment... after the
+    # last cascade; whatever the exact shape, coverage must be a
+    # contiguous prefix [0..folded_upto] with disjoint ranges
+    spans = sorted((int(s["lo"]), int(s["hi"])) for s in segs)
+    cur = 0
+    for lo, hi in spans:
+        assert lo == cur, spans
+        cur = hi + 1
+    assert cur - 1 == max(int(s["hi"]) for s in segs)
+
+    # (b) write amplification: every posting is rewritten at most once
+    # per level -> compaction bytes <= (levels+1) x ingested bytes.
+    # (The round-4 single-generation fold would have paid ~n/(2k) = 8x.)
+    ingested = sum(
+        int(m.get("bytes") or 0)
+        for key, m in writer.cat.snapshot()["manifests"].items()
+        if key.startswith("stream_batch=")
+    )
+    rewritten = int(idx.stats["compaction_bytes_written"])
+    assert ingested > 0
+    amp = rewritten / ingested
+    assert amp <= (levels + 1) * 1.25, (amp, levels)  # 1.25: codec slack
+
+    # (c) oracle equality after the cascades
+    oracle = OracleIndex(Analyzer("english")).build(docs)
+    assert idx.n_docs == oracle.n_docs
+    for q in QUERIES + ["filler3 filler60"]:
+        got = idx.search(q, 10)
+        expect = oracle.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in expect], atol=1e-9
+        )
+
+    # chunk rows for a hot term mirror the component bound
+    n_quick, _ = _chunk_rows_per_term(out, "quick")
+    assert 0 < n_quick <= len(seg_buckets) + len(live_batches)
