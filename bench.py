@@ -121,11 +121,19 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
         os.environ.get("BENCH_N_TPARTS", str(max(16, min(64, synth_rows // 15_625))))
     )
     t0 = time.perf_counter()
+    # scan_tasks rows-derived (2x tparts), NOT cpus-derived: the N->4N
+    # scaling pair must run the identical work decomposition at both
+    # levels — at 1M rows this is 128 scan tasks (4 waves at local[32],
+    # 16 at local[8]); a cores-derived count gave local[32] a single
+    # straggler-gated wave (round-4 verdict: part of the 8->32 plateau).
+    scan_tasks = 2 * n_tparts
+    max_tf_files = int(os.environ.get("BENCH_MAX_TF_FILES", "64"))
     build_index(
         spark, corpus, sdir, doc_id_col="doc_id",
         config=IndexConfig(preset="code", n_buckets=4, compute_norms=False,
                            shuffle_partitions=cpus, posting_mode=mode,
-                           n_tparts=n_tparts),
+                           n_tparts=n_tparts, scan_tasks=scan_tasks,
+                           max_tf_files_per_tpart=max_tf_files or None),
         resume=False,
     )
     secs = time.perf_counter() - t0

@@ -117,6 +117,18 @@ class IndexConfig:
     # min(scan_tasks, bound) x n_tparts + combined output instead of
     # 10^5 x n_tparts at cluster scale. None disables.
     max_tf_files_per_tpart: int | None = 64
+    # Minimum task waves for the corpus scan when the small-file guard
+    # repartitions (toy/bench scale only — a real corpus has plenty of
+    # splits): one wave puts straggler variance on the critical path,
+    # while ~4 waves amortize it (same reasoning as the tpart count).
+    scan_waves: int = 4
+    # Explicit scan task count override (None -> scan_waves x cores).
+    # Set it ROWS-derived (like n_tparts) when measuring N->4N scaling
+    # so both levels run the identical work decomposition — a cores-
+    # derived target gives the high level fewer waves per task and
+    # different tf file counts, which is a protocol artifact, not a
+    # scaling property.
+    scan_tasks: int | None = None
 
 
 # Measured A/B sweet spot (BENCH/BASELINE.md tpart sweep): 1M docs -> 64
@@ -575,13 +587,21 @@ def build_index(
             # Small-file guard: a corpus materialized as a few small
             # parquet files bin-packs into fewer scan splits than cores
             # (spark.sql.files.maxPartitionBytes), which would serialize
-            # the tokenize stage. At 100 TB the scan has orders of
-            # magnitude more splits than executors and this no-ops; at
-            # toy scale the round-robin shuffle is cheap and buys full
-            # parallelism for the dominant stage.
+            # the tokenize stage. Target scan_waves x parallelism tasks,
+            # not just parallelism: a single task wave puts per-task
+            # variance straight on the stage's critical path (at 32
+            # cores the slowest of 32 tasks gates the stage — the r4
+            # 8->32 stage_tf plateau was partly THIS: the cached bench
+            # corpus bin-packed to exactly 32 splits, giving local[8]
+            # four straggler-amortizing waves and local[32] one). At
+            # 100 TB the scan has orders of magnitude more splits than
+            # executors and this no-ops; at toy scale the round-robin
+            # shuffle is cheap and buys wave-balanced parallelism for
+            # the dominant stage.
             par = spark.sparkContext.defaultParallelism
-            if docs.rdd.getNumPartitions() < par:
-                docs = docs.repartition(par)
+            target = config.scan_tasks or par * max(1, int(config.scan_waves))
+            if docs.rdd.getNumPartitions() < target:
+                docs = docs.repartition(target)
         if config.posting_mode == "file-shuffle":
             # FUSED single corpus scan (udfs.make_tf_fused_task): the
             # task tokenizes, packs runs into tpart files AND computes

@@ -117,38 +117,42 @@ def _work_full(lo: int, hi: int, tmpdir: str) -> int:
 
 
 def _work_sha(lo: int, hi: int, tmpdir: str) -> int:
-    # cache-resident compute control (the old calibration burn)
+    # cache-resident compute control (the old calibration burn):
+    # one unit = 2000 chained sha256 of a 4 KB blob (~3 ms)
     import hashlib
 
     blob = b"x" * 4096
-    for _ in range(lo, hi):
+    for _ in range((hi - lo) * 2000):
         blob = hashlib.sha256(blob).digest() * 128
     return hi - lo
 
 
 def _work_membw(lo: int, hi: int, tmpdir: str) -> int:
-    # memory-bandwidth-bound control: stream a 64 MB array per unit
+    # memory-bandwidth-bound control: one unit = stream 128 MB through
+    # DRAM (64 MB read + 64 MB write, far beyond LLC)
     import numpy as np
 
     a = np.arange((64 << 20) // 8, dtype=np.int64)
     s = 0
     for _ in range(lo, hi):
-        b = a.copy()  # read+write 128 MB through DRAM
+        b = a.copy()
         s += int(b[-1])
     return hi - lo
 
 
+# (worker, units at the default 120k-doc budget) — each level should run
+# multiple seconds so pool dispatch overhead stays <1%
 VARIANTS = {
-    "tokenize": (_work_tokenize, 1),
-    "full": (_work_full, 1),
-    "sha": (_work_sha, 1 / 400),  # unit scale: ~comparable wall per doc
-    "membw": (_work_membw, 1 / 4000),
+    "tokenize": (_work_tokenize, 1.0),
+    "full": (_work_full, 1.0),
+    "sha": (_work_sha, 1 / 15),
+    "membw": (_work_membw, 1 / 150),
 }
 
 
 def run_level(variant: str, procs: int, total_docs: int, tmpdir: str) -> dict:
     fn, scale = VARIANTS[variant]
-    units = max(procs, int(total_docs * scale))
+    units = max(procs * 8, int(total_docs * scale))
     os.sched_setaffinity(0, set(range(procs)))  # children inherit
     try:
         ctx = mp.get_context("fork")

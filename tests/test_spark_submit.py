@@ -111,3 +111,72 @@ def test_spark_submit_file_shuffle_default(corpus_dir, tmp_path):
         for b in bucket_dirs
         for sub in os.listdir(os.path.join(idx_dir, "index", b))
     )
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_stream_index(spark, tmp_path):
+    """Round-5 task: the streaming writer is reachable from spark-submit
+    (jobs/stream_index.py). Drop 3 parquet files, drain with
+    availableNow, query the appended index, then drop one more file and
+    re-submit — the checkpoint must skip the first three batches and
+    append only the fourth."""
+    from pyfusedb_spark.sources.corpus import synthetic_code_corpus
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    full = synthetic_code_corpus(spark, 120, 4, with_doc_id=True).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(full.iloc[i * 30: (i + 1) * 30], preserve_index=False),
+            os.path.join(incoming, f"f{i}.parquet"),
+        )
+
+    zpath = _make_zip(tmp_path)
+    idx_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    workdir = str(tmp_path / "cwd")
+    os.makedirs(workdir)
+    env = _submit_env()
+    common = [
+        SPARK_SUBMIT, "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zpath,
+    ]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, doc_id bigint")
+    submit = [*common, os.path.join(REPO, "jobs", "stream_index.py"),
+              "--input", incoming, "--out", idx_dir, "--schema", schema,
+              "--checkpoint", ckpt, "--preset", "code",
+              "--compact-postings-every", "2"]
+    r = subprocess.run(submit, cwd=workdir, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stats = json.loads(r.stdout[r.stdout.index("{"):])
+    assert stats["n_docs"] == 90
+    # K=2 over 3 batches -> at least one tiered fold happened
+    assert stats["stream_segments"], stats
+
+    r2 = subprocess.run(
+        [*common, os.path.join(REPO, "jobs", "query_index.py"),
+         "--index", idx_dir, "--query", "return", "--k", "5"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    hits = [json.loads(ln) for ln in r2.stdout.splitlines() if ln.startswith("{")]
+    assert hits and len(hits[0]["hits"]) == 5
+
+    # late file + resubmit: checkpoint resumes, appends ONLY batch 3
+    pq.write_table(
+        pa.Table.from_pandas(full.iloc[90:120], preserve_index=False),
+        os.path.join(incoming, "f3.parquet"),
+    )
+    r3 = subprocess.run(submit, cwd=workdir, env=env,
+                        capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    stats3 = json.loads(r3.stdout[r3.stdout.index("{"):])
+    assert stats3["n_docs"] == 120
+    assert stats3["last_batch_id"] == 3
