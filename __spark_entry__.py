@@ -3,10 +3,12 @@
 ``entry(spark)`` runs the flagship BM25 query end-to-end on sf0.001.
 ``queries()`` exposes one callable per implemented operator family
 (SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives the DuckDB-
-runnable ANSI-SQL equivalent where the semantics are SQL-expressible
-(the stemmed 'english' analyzer is NOT — DuckDB 1.0.0 here has no
-stem(); those paths are rank-identity-checked against
-pyfusedb_spark.oracle in pytest instead, SURVEY.md §7.5).
+runnable ANSI-SQL equivalent for every entry — including the stemmed
+'english' analyzer: DuckDB 1.0.0 here has no stem(), so that oracle
+joins tokens against a (term, stem) side parquet the entry itself
+refreshes (porter2 is a pure function of the token string; see
+_refresh_stem_map). The stemmed entry additionally rank-identity-checks
+against pyfusedb_spark.oracle in-process (SURVEY.md §7.5).
 
 Column names and numeric types are aligned on both sides; float-valued
 results are rounded to 6 decimals on both sides so the driver's
@@ -216,6 +218,83 @@ sc AS (
 )
 SELECT sc.doc_id AS doc_id, round(sc.s / (n.nrm * q.qn), 6) AS score
 FROM sc JOIN norms n ON n.doc_id = sc.doc_id CROSS JOIN qn q
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# ---- stemmed-analyzer DuckDB oracle support ----
+# DuckDB in this sandbox has no stem(), but porter2.stem is a PURE
+# function of the token string — so the stemmed oracle joins raw tokens
+# against a precomputed (term, stem) side parquet instead of stemming in
+# SQL. ft_bm25_stemmed refreshes the map before returning (merge-on-
+# write: term→stem mappings are corpus-independent facts, so rows from
+# different sf runs coexist), and the driver executes the Spark entry
+# before its oracle SQL, so the map always covers the compared corpus's
+# vocabulary. A LEFT JOIN + coalesce keeps unseen tokens unstemmed
+# rather than silently dropping rows if the contract is ever violated.
+_STEM_MAP_PATH = os.path.join(tempfile.gettempdir(), "pyfusedb_entry_stem_map.parquet")
+
+
+def _refresh_stem_map(sf_dir: str) -> None:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyfusedb_spark import porter2
+
+    con = duckdb.connect()
+    toks = con.execute(
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    mapping = {t: porter2.stem(t) for (t,) in toks}
+    if os.path.exists(_STEM_MAP_PATH):
+        prior = pq.read_table(_STEM_MAP_PATH)
+        for t, s in zip(prior.column("term").to_pylist(),
+                        prior.column("stem").to_pylist()):
+            mapping.setdefault(t, s)
+    terms = sorted(mapping)
+    tmp = _STEM_MAP_PATH + ".tmp"
+    pq.write_table(pa.table({"term": terms, "stem": [mapping[t] for t in terms]}), tmp)
+    os.replace(tmp, _STEM_MAP_PATH)
+
+
+def _bm25_stemmed_sql(query: str, k: int = 10) -> str:
+    qtf = Analyzer("english").preprocess_query(query)
+    vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+sm AS (SELECT term, stem FROM read_parquet('{_STEM_MAP_PATH}')),
+terms AS (
+  SELECT t.doc_id, coalesce(sm.stem, t.term) AS term
+  FROM toks t LEFT JOIN sm ON sm.term = t.term
+  WHERE length(t.term) > 1 AND t.term NOT IN {sql_stopword_list()}
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+dl AS (
+  SELECT d.doc_id, coalesce(sum(t.tf), 0)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN tf t ON d.doc_id = t.doc_id GROUP BY 1
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term, qtf)),
+m AS (
+  SELECT tf.doc_id,
+         sum(qt.qtf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / s.avgdl))) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN dfreq df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score FROM m
 ORDER BY score DESC, doc_id LIMIT {k}
 """
 
@@ -465,13 +544,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _search_df(spark, _index(spark, sf), "merge sort", mode="tfidf")
 
     def ft_bm25_stemmed(spark, sf):
-        # flagship 'english' (stemmed) analyzer end-to-end. DuckDB has no
-        # stem() so there is no SQL oracle; instead the entry ITSELF
-        # verifies rank-identity against the single-process reference-
-        # semantics oracle (pyfusedb_spark.oracle) before returning —
-        # the driver's rows-only check then records a result that has
-        # already passed an in-process exactness assertion.
+        # flagship 'english' (stemmed) analyzer end-to-end. DuckDB has
+        # no stem(), so the SQL oracle (_bm25_stemmed_sql) joins tokens
+        # against the (term, stem) side parquet this entry refreshes
+        # below; belt-and-braces, the entry ALSO verifies rank-identity
+        # against the single-process reference-semantics oracle
+        # (pyfusedb_spark.oracle) before returning.
         from pyfusedb_spark.oracle import OracleIndex
+
+        _refresh_stem_map(sf)
 
         key = os.path.abspath(sf) + ":english"
         if key not in _INDEX_CACHE:
@@ -839,6 +920,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_bmx": _bm25_sql("merge sort join"),
         "ft_bm25_distributed": _bm25_sql("merge sort join"),
         "ft_tfidf_cosine": _tfidf_sql("merge sort"),
+        # stemmed BM25: porter2 applied via the side-parquet stem map the
+        # queries() entry refreshes (see _refresh_stem_map docstring)
+        "ft_bm25_stemmed": _bm25_stemmed_sql("merging sorted indexes"),
         "sqlfront_like": _bm25_sql(
             "merge sort", k=5, project=", d.source AS source, d.lang AS lang", join_docs=True
         ),
@@ -1036,7 +1120,4 @@ def oracle_sql() -> dict[str, str]:
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
         """,
-        # rows-only (deliberately no SQL oracle): ft_bm25_stemmed — DuckDB
-        # here has no stem(); the entry instead asserts rank-identity
-        # against pyfusedb_spark.oracle IN-PROCESS before returning.
     }

@@ -46,9 +46,9 @@ def test_every_query_has_callable_and_most_have_oracles():
     missing = [k for k in ORACLES if k not in ALL]
     assert not missing, f"oracle without query: {missing}"
     no_oracle = [k for k in ALL if k not in ORACLES]
-    # only the declared rows-only ops may omit an oracle (ft_bm25_stemmed
-    # self-verifies against pyfusedb_spark.oracle inside the entry)
-    assert set(no_oracle) <= {"ft_bm25_stemmed"}
+    # every entry is SQL-checkable now — the stemmed analyzer included,
+    # via the (term, stem) side parquet its entry refreshes (r5)
+    assert not no_oracle, f"query without oracle: {no_oracle}"
 
 
 @pytest.mark.parametrize("name", ALL)
