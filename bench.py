@@ -11,6 +11,10 @@ Env knobs:
                       N->4N scaling-efficiency evidence)
   BENCH_ONLY_SYNTH    if "1", skip the documents-table suite (scaling
                       runs measure just the synthetic build + queries)
+  BENCH_SCALEUP_FACTOR  two-scale dedup/ANN/textstats suite: run at 5k
+                      docs / 2k vectors AND at factor x that size from
+                      the same deterministic generators, reporting
+                      per-row ratios (default 10; <=1 disables)
 
 Prints exactly one JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
@@ -172,6 +176,93 @@ def _bench_synth(spark, synth_rows: int, cpus: int, timings: dict, extras: dict)
     extras["scorer_auto_picked"] = (sidx.last_search_stats or {}).get("path")
 
 
+def _bench_scaleup(spark, cpus: int, factor: int, timings: dict, extras: dict) -> None:
+    """Two-scale suite (round-4 verdict #5): the sf0.1 documents table
+    (5k docs) hides scan-bound regressions. Run the dedup / ANN /
+    textstats operators at two sizes of the SAME deterministic
+    generators — 5k vs 5k*factor docs, 2k vs 2k*factor vectors — and
+    report per-row time ratios. Identical operator parameters at both
+    scales: every op here is designed linear-per-row (hash groupBy,
+    banded LSH join, cell-pruned IVF probe, JVM text expressions), so a
+    per-row ratio well above 1 flags a plan that degraded with scale,
+    not just more data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyfusedb_spark.functions import textstats
+    from pyfusedb_spark.operators import dedup, knn
+    from pyfusedb_spark.sources.corpus import synthetic_code_corpus, synthetic_embeddings
+
+    base_docs, base_vecs = 5000, 2000
+    scales = [("s1", base_docs, base_vecs), (f"s{factor}", base_docs * factor, base_vecs * factor)]
+    per_row: dict[str, dict[str, float]] = {}
+    for tag, n_docs, n_vecs in scales:
+        ddir = os.path.join(tempfile.gettempdir(), f"pyfusedb_scaleup_docs_{n_docs}")
+        edir = os.path.join(tempfile.gettempdir(), f"pyfusedb_scaleup_emb_{n_vecs}")
+        if not os.path.exists(os.path.join(ddir, "_SUCCESS")):
+            synthetic_code_corpus(spark, n_docs, 32, with_doc_id=True).write.mode(
+                "overwrite").parquet(ddir)
+        if not os.path.exists(os.path.join(edir, "_SUCCESS")):
+            synthetic_embeddings(spark, n_vecs, 64).write.mode("overwrite").parquet(edir)
+        docs = spark.read.parquet(ddir)
+        emb = spark.read.parquet(edir)
+        rows: dict[str, float] = {}
+
+        t0 = time.perf_counter()
+        dedup.exact_duplicates(docs, "content", "doc_id").count()
+        rows["dedup_exact"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_mh = dedup.minhash_near_duplicates(docs, "content", "doc_id", threshold=0.8).count()
+        rows["dedup_minhash"] = time.perf_counter() - t0
+        extras[f"scaleup_{tag}_minhash_pairs"] = n_mh
+
+        t0 = time.perf_counter()
+        # 0.8 = realistic near-dup bar: catches the planted pairs (cos
+        # ~0.99) without drowning in random-pair tails (P(cos>0.8) ~ 0
+        # at dim 64), so the timing measures prune+verify, not output
+        n_ed = dedup.embedding_near_duplicates_bucketed(emb, threshold=0.8).count()
+        rows["dedup_embedding"] = time.perf_counter() - t0
+        # planted positives: every 50th vector is a near-dup of its
+        # predecessor (synthetic_embeddings dup_every) — the count must
+        # scale linearly or the op is dropping pairs
+        extras[f"scaleup_{tag}_embedding_pairs"] = n_ed
+
+        t0 = time.perf_counter()
+        textstats.text_profile(docs, "content", "doc_id").write.format("noop").mode(
+            "overwrite").save()
+        docs.select(
+            "doc_id", textstats.fingerprint("content").alias("fp"),
+            textstats.langid("content").alias("lang"),
+        ).write.format("noop").mode("overwrite").save()
+        rows["text_stats"] = time.perf_counter() - t0
+
+        ivf_dir = os.path.join(tempfile.gettempdir(), f"pyfusedb_scaleup_ivf_{n_vecs}")
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+        ivf = knn.PersistedIVF.build(emb, ivf_dir, nlist=8, sample_n=512)
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+        rows["ann_ivf_probe"] = _med(lambda: ivf.topk(qv, 10, nprobe=6).collect(), n=3)
+
+        for op, secs in rows.items():
+            timings[f"{tag}_{op}"] = round(secs, 3)
+            n = n_vecs if op.startswith(("dedup_embedding", "ann_")) else n_docs
+            per_row.setdefault(op, {})[tag] = secs / n
+
+    ratios = {
+        op: round(v[f"s{factor}"] / v["s1"], 2) for op, v in per_row.items() if v.get("s1")
+    }
+    extras["scaleup"] = {
+        "factor": factor,
+        "n_docs": [base_docs, base_docs * factor],
+        "n_vecs": [base_vecs, base_vecs * factor],
+        # per-row slowdown at the large scale; ~1.0 = linear, <1.0 =
+        # fixed overhead amortizing away, >2.0 = plan degraded (gate
+        # from round-4 verdict #5)
+        "per_row_ratio": ratios,
+        "max_per_row_ratio": max(ratios.values()) if ratios else None,
+    }
+
+
 def _emit(timings: dict, extras: dict, sf_dir: str, cpus: int, n_docs: int) -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -188,6 +279,17 @@ def _emit(timings: dict, extras: dict, sf_dir: str, cpus: int, n_docs: int) -> N
 
 
 def main() -> None:
+    # glibc retention tuning for the forked Python workers (they inherit
+    # this env through the JVM -> pyspark.daemon chain): the per-tpart
+    # encoder allocates/frees ~50-100 MB of numpy temporaries per task;
+    # with default thresholds glibc returns them to the kernel (munmap)
+    # and every task re-faults the pages — at 32 concurrent workers the
+    # fault+TLB-shootdown storm measurably inflates per-task CPU
+    # (scripts/profile_postings_mp.py A/B: interleaved runs ~+0.05 pair
+    # efficiency with retention on). Harmless on real clusters: one
+    # worker retains at most one task's peak.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 << 20))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 << 20))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     synth_rows = int(os.environ.get("BENCH_SYNTH_ROWS", "150000"))
@@ -349,6 +451,10 @@ def main() -> None:
 
     if synth_rows > 0:
         _bench_synth(spark, synth_rows, cpus, timings, extras)
+
+    scaleup = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
+    if scaleup > 1:
+        _bench_scaleup(spark, cpus, scaleup, timings, extras)
 
     _emit(timings, extras, sf_dir, cpus, n_docs)
     spark.stop()

@@ -28,6 +28,31 @@ from pyfusedb_spark.functions import codec
 # per-executor analyzer cache (stem memoization survives across batches)
 _ANALYZERS: dict[str, Analyzer] = {}
 
+_ARROW_TAMED = False
+
+
+def tame_arrow_threads() -> None:
+    """Cap pyarrow's GLOBAL thread pools inside an executor Python worker.
+
+    pyarrow defaults both its CPU and IO pools to os.cpu_count() —
+    per PROCESS. Spark already runs one Python worker per task slot, so
+    a 32-slot executor gets 32 workers x 32 Arrow CPU threads = 1024
+    runnable threads; the resulting scheduler thrash measurably
+    inflates even the single-threaded numpy encode sections (r5 pair
+    protocol: per-tpart encode wall 0.57s at local[8] vs 3.4s at
+    local[32] for identical work, while the same encode under plain
+    multiprocessing scales at the machine ceiling). One CPU thread +
+    a few IO threads per worker is the right shape on ANY
+    multi-slot executor; env overrides for exotic deployments."""
+    global _ARROW_TAMED
+    if _ARROW_TAMED:
+        return
+    _ARROW_TAMED = True
+    import pyarrow as pa
+
+    pa.set_cpu_count(int(os.environ.get("PYFUSEDB_ARROW_CPU_THREADS", "1")))
+    pa.set_io_thread_count(int(os.environ.get("PYFUSEDB_ARROW_IO_THREADS", "4")))
+
 
 def _get_analyzer(preset: str) -> Analyzer:
     az = _ANALYZERS.get(preset)
@@ -249,6 +274,7 @@ def make_tf_fused_task(
 
         from pyspark import TaskContext
 
+        tame_arrow_threads()
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         az = _get_analyzer(preset)
@@ -466,6 +492,7 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
         return pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     def mapper(batches):
+        tame_arrow_threads()
         # materialize the partition's packed runs and encode in ONE pass:
         # grouping does not need runs of a term adjacent (see
         # encode_arrays), so there is no carry-over bookkeeping and no
@@ -555,6 +582,7 @@ def make_tf_combine_task(src_tf_dir: str, dst_tf_dir: str,
         return (tp, n_in, n_out)
 
     def task(batches):
+        tame_arrow_threads()
         for batch in batches:
             rows = []
             for tp in batch.column("id").to_pylist():
@@ -741,6 +769,7 @@ def make_tpart_build_task(
         return rows
 
     def task(batches):
+        tame_arrow_threads()
         for batch in batches:
             for tp in batch.column("id").to_pylist():
                 rows = _one_tpart(int(tp))

@@ -160,6 +160,63 @@ def synthetic_code_corpus(
     return rng.mapInPandas(gen, schema=schema)
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix):
+    component (i, j) of a synthetic embedding is a pure function of
+    i * dim + j, so generation is distributed and partition-invariant
+    exactly like the code corpus above."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & _M64
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & _M64
+    return x ^ (x >> 31)
+
+
+def synthetic_embeddings(
+    spark: SparkSession, n_vecs: int, dim: int = 64, n_partitions: int = 32,
+    dup_every: int = 50, dup_noise: float = 0.1,
+) -> DataFrame:
+    """Deterministic unit-vector table ``(vec_id, embedding)`` matching the
+    testdata embeddings schema, at any scale.
+
+    Every ``dup_every``-th id (i % dup_every == 1) is a planted near-
+    duplicate of its predecessor — ``normalize((1-eps)*e(i-1) + eps*r(i))``
+    with eps = ``dup_noise`` — so embedding-dedup and ANN recall keep a
+    known positive class at every scale (random 64-d unit vectors are
+    otherwise near-orthogonal and dedup would trivially return zero)."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+
+    def _raw(ids: np.ndarray) -> np.ndarray:
+        # (len(ids), dim) uniform [-1, 1) from splitmix64(i * dim + j)
+        keys = ids[:, None].astype(np.uint64) * np.uint64(dim) + np.arange(
+            dim, dtype=np.uint64
+        )
+        return (_splitmix64(keys).astype(np.float64) / 2.0**64) * 2.0 - 1.0
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            v = _raw(ids)
+            if dup_every:
+                is_dup = (ids % dup_every == 1) & (ids > 0)
+                if is_dup.any():
+                    prev = _raw(ids[is_dup] - 1)
+                    v[is_dup] = (1.0 - dup_noise) * prev + dup_noise * v[is_dup]
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(v)})
+
+    return spark.range(0, n_vecs, 1, n_partitions).mapInPandas(gen, schema=schema)
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver testdata documents table (doc_id, text, lang, source, n_chars)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -14,6 +14,10 @@ multiprocessing at two pinned parallelism levels:
                         Spark task does per batch)
     variant `sha`       pure hashlib.sha256 burn — the CACHE-RESIDENT
                         control the old BASELINE.md calibrated against
+    variant `encode`    the stage_postings encoder itself (dictionary-
+                        encode + integer lexsort + delta/varint/block-max
+                        pack via make_packed_encoder) over a synthetic
+                        tpart — Spark-free twin of the OTHER build stage
     variant `membw`     numpy big-array copy — a MEMORY-BANDWIDTH-bound
                         control (string/tokenize workloads live here,
                         not in the sha regime)
@@ -116,6 +120,65 @@ def _work_full(lo: int, hi: int, tmpdir: str) -> int:
     return n
 
 
+_ENC_BATCH = None
+
+
+def _synth_packed_batch():
+    """One tpart's worth of packed runs (~1.3M postings, Zipf vocab,
+    4 doc-range buckets, runs capped at 1024) — the input shape the
+    stage_postings encoder task reads from its tpart's parquet files."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    n_post, vocab, run_cap = 1_300_000, 20_000, 1024
+    probs = 1.0 / np.arange(1, vocab + 1)
+    probs /= probs.sum()
+    t = rng.choice(vocab, size=n_post, p=probs)
+    d = rng.integers(0, 1_000_000, size=n_post)
+    b = (d // 250_000).astype(np.int64)
+    order = np.lexsort((d, b, t))
+    t, b, d = t[order], b[order], d[order]
+    tf = rng.integers(1, 5, size=n_post).astype(np.int32)
+    dl = rng.integers(30, 90, size=n_post).astype(np.int32)
+    change = np.flatnonzero((np.diff(t) != 0) | (np.diff(b) != 0)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n_post]))
+    offs, terms, buckets = [0], [], []
+    for s, e in zip(starts, ends):
+        for rs in range(s, e, run_cap):
+            offs.append(min(e, rs + run_cap))
+            terms.append(f"t{t[rs]:06d}")
+            buckets.append(int(b[rs]))
+    off = pa.array(offs, type=pa.int32())
+    return pa.record_batch(
+        {
+            "term": pa.array(terms),
+            "bucket": pa.array(buckets, type=pa.int32()),
+            "docs": pa.ListArray.from_arrays(off, pa.array(d, type=pa.int64())),
+            "tfs": pa.ListArray.from_arrays(off, pa.array(tf, type=pa.int32())),
+            "dls": pa.ListArray.from_arrays(off, pa.array(dl, type=pa.int32())),
+        }
+    )
+
+
+def _work_encode(lo: int, hi: int, tmpdir: str) -> int:
+    """stage_postings' REAL work, Spark-free: the make_packed_encoder
+    merge (dictionary-encode + integer lexsort + delta/varint/block-max
+    pack) over a synthetic tpart, one tpart per unit."""
+    global _ENC_BATCH
+    from pyfusedb_spark.functions.udfs import make_packed_encoder
+
+    if _ENC_BATCH is None:
+        _ENC_BATCH = _synth_packed_batch()
+    enc = make_packed_encoder(60.0, 1.2, 0.75, 128)
+    n = 0
+    for _ in range(lo, hi):
+        for out in enc(iter([_ENC_BATCH])):
+            n += out.num_rows
+    return hi - lo
+
+
 def _work_sha(lo: int, hi: int, tmpdir: str) -> int:
     # cache-resident compute control (the old calibration burn):
     # one unit = 2000 chained sha256 of a 4 KB blob (~3 ms)
@@ -145,6 +208,7 @@ def _work_membw(lo: int, hi: int, tmpdir: str) -> int:
 VARIANTS = {
     "tokenize": (_work_tokenize, 1.0),
     "full": (_work_full, 1.0),
+    "encode": (_work_encode, 1 / 2000),  # one synthetic tpart per unit
     "sha": (_work_sha, 1 / 15),
     "membw": (_work_membw, 1 / 150),
 }

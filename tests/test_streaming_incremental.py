@@ -339,15 +339,21 @@ def test_posting_compaction_bounds_chunks_and_matches_oracle(spark, tmp_path):
     assert idx.stats["wand_safe"] == (idx.stats["avgdl_drift"] <= 0.01)
 
 
-def test_posting_compaction_crash_artifacts_invisible_then_gcd(spark, tmp_path):
+@pytest.mark.parametrize("use_uri", [False, True], ids=["path", "file_uri"])
+def test_posting_compaction_crash_artifacts_invisible_then_gcd(spark, tmp_path, use_uri):
     """Stale dirs from a crashed compaction (an unflipped next
-    generation; a folded batch dir whose GC was interrupted) must be
-    invisible to queries and removed by the next writer start."""
+    generation — i.e. a kill BETWEEN fsio.move and the stats flip — and
+    a folded batch dir whose GC was interrupted) must be invisible to
+    queries and removed by the next writer start. Parameterized over a
+    plain path AND a ``file://`` root (round-4 verdict #6): on URI roots
+    promote degrades to copy+delete, so the between-move-and-flip crash
+    window is wider and the GC path must still recover."""
     import shutil
 
     docs = [PANGRAMS[i % len(PANGRAMS)] for i in range(16)]
     out = str(tmp_path / "crash_idx")
-    writer = IncrementalIndexWriter(spark, out, config=CFG)
+    root = f"file://{out}" if use_uri else out
+    writer = IncrementalIndexWriter(spark, root, config=CFG)
     writer.compact_postings_every = 4
     for b in range(8):
         batch = spark.createDataFrame(
@@ -364,7 +370,7 @@ def test_posting_compaction_crash_artifacts_invisible_then_gcd(spark, tmp_path):
     gen_dir = os.path.join(idx_dir, f"bucket={stream_seg_bucket(0, 0)}")
     assert os.path.isdir(gen_dir)
 
-    baseline = FuseIndex(spark, out).search("quick", 10)
+    baseline = FuseIndex(spark, root).search("quick", 10)
     assert baseline
 
     # crash artifact 1: promoted-but-unflipped NEXT fold (a level-1
@@ -376,13 +382,13 @@ def test_posting_compaction_crash_artifacts_invisible_then_gcd(spark, tmp_path):
     stale_batch = os.path.join(idx_dir, f"bucket={BB}")
     shutil.copytree(gen_dir, stale_batch)
 
-    assert FuseIndex(spark, out).search("quick", 10) == baseline
+    assert FuseIndex(spark, root).search("quick", 10) == baseline
 
     # next writer start GCs both
-    IncrementalIndexWriter(spark, out, config=CFG)
+    IncrementalIndexWriter(spark, root, config=CFG)
     assert not os.path.exists(orphan_gen)
     assert not os.path.exists(stale_batch)
-    assert FuseIndex(spark, out).search("quick", 10) == baseline
+    assert FuseIndex(spark, root).search("quick", 10) == baseline
 
 
 @pytest.mark.parametrize("use_uri", [False, True], ids=["path", "file_uri"])
