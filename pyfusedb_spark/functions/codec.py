@@ -48,15 +48,23 @@ def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     # tfs/dls are overwhelmingly 1-2 bytes, so this cuts the fixed nine
     # full-array comparison passes (measured ~40% of encode CPU) to ~2
     vmax = int(v.max())
+    if vmax < (1 << 32):
+        # narrow to uint32: v is re-read in every per-byte pass below and
+        # the encode stage is memory-bound at high core counts
+        # (scripts/profile_postings_mp.py) — half-width traffic helps
+        v = v.astype(np.uint32)
     max_b = 1
     while max_b < 10 and vmax >= (1 << (7 * max_b)):
         max_b += 1
-    nbytes = np.ones(n, dtype=np.int64)
+    # uint8 is enough (max 10 bytes/varint): nbytes is touched by max_b
+    # comparison-add passes + the cumsum + the cont pass
+    nbytes = np.ones(n, dtype=np.uint8)
     for k in range(1, max_b):
-        nbytes += v >= (np.uint64(1) << np.uint64(7 * k))
+        nbytes += v >= v.dtype.type(1 << (7 * k))
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
-    out = np.zeros(offsets[-1], dtype=np.uint8)
+    # every output byte is written exactly once below -> empty, not zeros
+    out = np.empty(offsets[-1], dtype=np.uint8)
     starts = offsets[:-1]
     if max_b == 1:  # all single-byte: one contiguous store, no masks
         out[:] = v
@@ -66,8 +74,8 @@ def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         if not mask.any():
             break
         pos = starts[mask] + j
-        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << np.uint8(7)
+        byte = (v[mask] >> v.dtype.type(7 * j)) & v.dtype.type(0x7F)
+        cont = ((nbytes[mask] - 1 > j)).astype(np.uint8) << np.uint8(7)
         out[pos] = byte.astype(np.uint8) | cont
     return out.tobytes(), offsets
 

@@ -428,8 +428,12 @@ def make_packed_encoder(avgdl: float, k1: float, b: float, block_size: int):
         if len(g_sorted) * (maxd + 1) < (1 << 62):
             # one combined integer key -> single sort pass (duplicate
             # (group, doc) keys are interchangeable: tf of dups is summed
-            # below and dl is per-doc constant, so unstable sort is fine)
-            order = np.argsort(gid_post * (maxd + 1) + flat_d)
+            # below and dl is per-doc constant). kind="stable" selects
+            # numpy's radix sort for integer keys: sequential-access
+            # passes instead of quicksort's random probes — measurably
+            # faster on real tparts AND kinder to the shared memory
+            # system when 32 encoder workers run concurrently
+            order = np.argsort(gid_post * (maxd + 1) + flat_d, kind="stable")
         else:
             order = np.lexsort((flat_d, gid_post))
         d2, t2, l2, g2 = flat_d[order], flat_t[order], flat_l[order], gid_post[order]
