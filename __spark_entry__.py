@@ -248,12 +248,16 @@ def _refresh_stem_map(sf_dir: str) -> None:
         f"FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     con.close()
-    mapping = {t: porter2.stem(t) for (t,) in toks}
+    corpus_terms = {t for (t,) in toks}
+    mapping: dict[str, str] = {}
     if os.path.exists(_STEM_MAP_PATH):
         prior = pq.read_table(_STEM_MAP_PATH)
-        for t, s in zip(prior.column("term").to_pylist(),
-                        prior.column("stem").to_pylist()):
-            mapping.setdefault(t, s)
+        mapping = dict(zip(prior.column("term").to_pylist(),
+                           prior.column("stem").to_pylist()))
+        if corpus_terms <= mapping.keys():
+            return  # map already covers this corpus — skip the rewrite
+    for t in corpus_terms - mapping.keys():
+        mapping[t] = porter2.stem(t)
     terms = sorted(mapping)
     tmp = _STEM_MAP_PATH + ".tmp"
     pq.write_table(pa.table({"term": terms, "stem": [mapping[t] for t in terms]}), tmp)

@@ -87,7 +87,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyfusedb_spark import fsio
 
-    stats = fsio.read_json(fsio.join(args.out, "stats.json"))
+    stats_path = fsio.join(args.out, "stats.json")
+    if fsio.exists(stats_path):
+        stats = fsio.read_json(stats_path)
+    else:
+        # a drain that found zero input files never writes stats.json —
+        # an empty backfill is a legitimate success, not a crash
+        stats = {"n_docs": 0, "last_batch_id": None, "stream_segments": []}
     json.dump(stats, sys.stdout, indent=1, sort_keys=True)
     print()
     spark.stop()

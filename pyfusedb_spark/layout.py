@@ -68,7 +68,12 @@ def visible_bucket_components(stats: dict) -> tuple[list[int], int | None] | Non
     segs = stats.get("stream_segments")
     if segs is not None:
         if not segs:
-            return None
+            # a tiered-writer index with no folds YET: still filter —
+            # the FIRST fold promotes its segment dir before the stats
+            # flip, and an unfiltered reader in that window (or after a
+            # crash in it) would double-count the segment against the
+            # still-live batch dirs (r5 review finding)
+            return [], None
         vis = [int(s["bucket"]) for s in segs]
         folded_upto = max(int(s["hi"]) for s in segs)
         return vis, folded_upto

@@ -431,17 +431,22 @@ class FuseIndex:
             for d in miss:  # absent ids cache as 1.0 (never refetch)
                 v = fetched.get(d, 1.0)
                 cache[d] = 1.0 if (v == 0 or math.isnan(v)) else float(v)
-            over = len(cache) - self._norms_cache_max
-            if over > 0:  # bulk FIFO eviction (oldest inserted first)
-                import itertools
-
-                for k in list(itertools.islice(iter(cache), over)):
-                    del cache[k]
-        return np.fromiter(
+        out = np.fromiter(
             (cache.get(int(d), 1.0) for d in ids64),
             dtype=np.float64,
             count=len(ids64),
         )
+        # evict AFTER gathering: a query whose candidate set mixes old
+        # cached ids with enough fresh misses could otherwise evict its
+        # OWN old ids before the read-back and silently score them with
+        # the 1.0 fallback (r5 review finding)
+        over = len(cache) - self._norms_cache_max
+        if over > 0:  # bulk FIFO eviction (oldest inserted first)
+            import itertools
+
+            for k in list(itertools.islice(iter(cache), over)):
+                del cache[k]
+        return out
 
     # -- public search API ----------------------------------------------------
     def search(

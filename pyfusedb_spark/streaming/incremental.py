@@ -32,6 +32,7 @@ from pyfusedb_spark import fsio
 from pyfusedb_spark.layout import (
     STREAM_BATCH_BUCKET_BASE,
     STREAM_GEN_BUCKET_BASE,
+    STREAM_MAX_LEVELS,
     stream_seg_bucket,
 )
 from pyfusedb_spark.operators.build import IndexConfig
@@ -104,6 +105,22 @@ class IncrementalIndexWriter:
         # and, pre-flip, double-counts the orphan's chunk rows. Same
         # single-writer resume semantics as build_index (build.py:501).
         self.cat.clean_orphan_staging(out_dir)
+        # migration guard (r5 review finding): a PRE-TIERED index that
+        # streamed batches but never compacted has neither stream_gen
+        # nor folded_batches, so layout.py's loud refusal doesn't fire —
+        # yet its batch dirs sit at the old bucket base INSIDE today's
+        # segment range, and the GC below would silently delete live
+        # postings. Refuse loudly instead (same contract as layout.py:
+        # indexes are derived artifacts; rebuild with the current writer).
+        if "stream_segments" not in st and any(
+            k.startswith("stream_batch=")
+            for k in self.cat.snapshot().get("manifests", {})
+        ):
+            raise ValueError(
+                "index has streamed batches from a pre-tiered writer "
+                "(no stream_segments in stats.json); rebuild it with the "
+                "current writer before appending"
+            )
         # a crash between a compaction's dir promote and its stats.json
         # visibility flip (or between the flip and GC) leaves invisible
         # stale dirs — clean them before any new work
@@ -294,7 +311,7 @@ class IncrementalIndexWriter:
         k = self.compact_postings_every
         live = self._live_batch_ids()
         if len(live) >= k:
-            fold = live[:k] if len(live) > k else live
+            fold = live[:k]
             idx = fsio.join(self.out_dir, "index")
             src = [
                 d
@@ -303,7 +320,7 @@ class IncrementalIndexWriter:
             ]
             if src:
                 self._fold_segment(src, lo=fold[0], hi=fold[-1], level=0,
-                                   drop_batches=fold, batch_id=batch_id)
+                                   batch_id=batch_id)
         # cascade upward: fold the oldest K same-level segments
         while True:
             by_level: dict[int, list[dict]] = {}
@@ -311,6 +328,13 @@ class IncrementalIndexWriter:
                 by_level.setdefault(int(s["level"]), []).append(s)
             folded_any = False
             for lvl in sorted(by_level):
+                # top level never cascades: segments accumulate there
+                # instead of raising out of stream_seg_bucket's range —
+                # at small K the cap is reachable (K=2 -> 2^10 batches),
+                # and a wedged stream is worse than a few extra top-
+                # level segments (r5 review finding)
+                if lvl + 1 >= STREAM_MAX_LEVELS:
+                    continue
                 segs = sorted(by_level[lvl], key=lambda s: int(s["lo"]))
                 if len(segs) < k:
                     continue
@@ -342,7 +366,6 @@ class IncrementalIndexWriter:
         hi: int,
         level: int,
         batch_id: int,
-        drop_batches: list[int] | None = None,
         drop_segments: list[dict] | None = None,
     ) -> None:
         """Merge the source dirs into ONE new segment dir

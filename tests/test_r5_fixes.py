@@ -272,3 +272,98 @@ def test_prewave_cleanup_drops_uncommitted_partial_output(spark, tmp_path):
     expect = oracle.search_bm25("quick fox", 10)
     assert [d for d, _ in got] == [d for d, _ in expect]
     np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+
+# -- r5 review findings -----------------------------------------------------
+
+def test_norms_eviction_never_corrupts_current_query(spark, tmp_path):
+    """FIFO norm-cache eviction must not evict ids the CURRENT query
+    still needs before the read-back (review finding: old cached ids
+    mixed with enough fresh misses got the 1.0 fallback silently)."""
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(preset="english", n_buckets=2, shuffle_partitions=4, n_tparts=2)
+    build_index(spark, _df(spark, PANGRAMS), out, doc_id_col="doc_id", config=cfg)
+    idx = FuseIndex(spark, out)
+    true = idx._fetch_norm_rows(np.arange(len(PANGRAMS), dtype=np.int64))
+    truth = dict(zip(true["doc_id"].tolist(), true["norm"].tolist()))
+
+    idx._norms_cache_max = 4  # force eviction pressure
+    idx._norms_cache.clear()
+    idx._norms_for(np.array([0], dtype=np.int64))  # id 0 = oldest entry
+    # current query: old id 0 + 6 fresh misses -> eviction must not
+    # reach into THIS call's answer
+    got = idx._norms_for(np.array([0, 1, 2, 3, 4, 5, 6], dtype=np.int64))
+    for i, d in enumerate([0, 1, 2, 3, 4, 5, 6]):
+        expect = truth.get(d, 1.0)
+        assert got[i] == pytest.approx(expect, abs=1e-12), (d, got[i], expect)
+    assert len(idx._norms_cache) <= 4
+
+
+def test_compaction_stops_at_top_level_instead_of_wedging(spark, tmp_path, monkeypatch):
+    """At small K the level cap is reachable; the cascade must STOP at
+    the top level (segments accumulate) — not raise out of
+    stream_seg_bucket and wedge the stream (review finding)."""
+    import pyfusedb_spark.layout as layout
+    import pyfusedb_spark.streaming.incremental as inc
+
+    monkeypatch.setattr(layout, "STREAM_MAX_LEVELS", 3)
+    monkeypatch.setattr(inc, "STREAM_MAX_LEVELS", 3)
+
+    out = str(tmp_path / "idx")
+    w = IncrementalIndexWriter(spark, out, config=CFG)
+    w.compact_postings_every = 2
+    docs = [PANGRAMS[i % len(PANGRAMS)] for i in range(32)]
+    for b in range(16):  # 16 batches at K=2 > 2^3 -> cap reached
+        w.process_batch(_df(spark, docs[2 * b: 2 * b + 2], base=2 * b), b)
+    levels = sorted(int(s["level"]) for s in w.stream_segments)
+    assert levels and max(levels) == 2  # capped at top level (3 levels: 0..2)
+    assert levels.count(2) >= 2  # top level accumulates instead of folding
+
+    idx = FuseIndex(spark, out)
+    oracle = OracleIndex(Analyzer("english")).build(list(enumerate(docs)))
+    got = idx.search("quick fox", 10)
+    expect = oracle.search_bm25("quick fox", 10)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in expect], atol=1e-9)
+
+
+def test_unflipped_first_segment_is_invisible(spark, tmp_path):
+    """Before the FIRST fold's stats flip, a promoted segment dir must
+    be invisible to readers (review finding: empty stream_segments
+    returned 'no filtering')."""
+    import shutil
+
+    from pyfusedb_spark.layout import STREAM_BATCH_BUCKET_BASE, stream_seg_bucket
+
+    out = str(tmp_path / "idx")
+    w = IncrementalIndexWriter(spark, out, config=CFG)
+    w.compact_postings_every = 100  # no fold ever happens in this test
+    half = len(PANGRAMS) // 2
+    w.process_batch(_df(spark, PANGRAMS[:half]), 0)
+    w.process_batch(_df(spark, PANGRAMS[half:], base=half), 1)
+    baseline = FuseIndex(spark, out).search("quick", 10)
+    assert baseline
+
+    # simulate a crash between promote and flip of the FIRST fold
+    idx_dir = f"{out}/index"
+    src = f"{idx_dir}/bucket={STREAM_BATCH_BUCKET_BASE + 0}"
+    shutil.copytree(src, f"{idx_dir}/bucket={stream_seg_bucket(0, 0)}")
+    assert FuseIndex(spark, out).search("quick", 10) == baseline
+
+
+def test_pretiered_index_refused_not_gcd(spark, tmp_path):
+    """A pre-tiered index (streamed batches, stats without
+    stream_segments) must be refused loudly — NOT have its live batch
+    dirs silently GC'd (review finding)."""
+    import json as _json
+
+    out = str(tmp_path / "idx")
+    w = IncrementalIndexWriter(spark, out, config=CFG)
+    w.process_batch(_df(spark, PANGRAMS[:4]), 0)
+    # rewrite stats as a pre-tiered writer would have left them
+    st = _json.load(open(f"{out}/stats.json"))
+    st.pop("stream_segments", None)
+    st.pop("compaction_bytes_written", None)
+    _json.dump(st, open(f"{out}/stats.json", "w"))
+    with pytest.raises(ValueError, match="pre-tiered"):
+        IncrementalIndexWriter(spark, out, config=CFG)
